@@ -1,0 +1,84 @@
+"""Typed render/runtime configuration.
+
+TPU-native equivalent of the reference's static ``Config`` + ini loader
+(``src/utils/config.h:4-38``, ``src/utils/config_loader.h:10-72``).  Same
+parameter names and defaults; the ini format is the reference's
+colon-separated ``Key: Value`` per line (``config.ini:1-2``).
+
+Extensions over the reference (all new capability, not ported behavior):
+render tiling, bounce depth, kd-tree lane width, and distribution knobs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class Config:
+    # --- reference-parity keys (src/utils/config.h:6-14 defaults) ---
+    Height: int = 1080
+    Width: int = 1920
+    Epsilon: float = 1.0e-4
+    FrustrumMax: float = 1000.0  # loaded-but-unused in the reference; kept for parity
+    IntersectCost: int = 80
+    TraversalCost: int = 80
+    EmptyBonus: float = 0.0
+    MaxPrims: int = 8  # kd-tree: max *lanes* per leaf before forced split attempt
+
+    # --- new knobs (TPU build) ---
+    recursion_depth: int = 10  # reference hardcodes 10 (src/main.cpp:301)
+    ray_tile: int = 32768  # rays processed per sequential tile inside render
+    lane_size: int = 8  # triangles per kd-tree lane (reference c_triangleLaneSz)
+    leaf_chunk_lanes: int = 8  # lanes intersected per traversal step
+    stack_depth: int = 64  # traversal worklist depth (kdtree.cpp:279)
+    use_kdtree: bool = True
+    replicate_reference_bugs: bool = False  # e.g. cylinder hit color dropped
+
+    @property
+    def Ratio(self) -> float:
+        # src/utils/config.h:8 — recomputed from W/H, not independently loadable.
+        return float(self.Width) / float(self.Height)
+
+    @classmethod
+    def load(cls, path: Optional[str] = None, **overrides) -> "Config":
+        """Build a Config from an ini file plus keyword overrides.
+
+        Mirrors ``Config::Load`` (``config.h:16-37``): unknown keys in the
+        file are ignored with defaults retained; the file may set any subset.
+        """
+        cfg = cls()
+        if path is not None:
+            for key, value in _parse_ini(path).items():
+                if not hasattr(cfg, key):
+                    continue
+                field_type = type(getattr(cfg, key))
+                if field_type is bool:
+                    setattr(cfg, key, value.strip().lower() in ("1", "true", "yes"))
+                else:
+                    setattr(cfg, key, field_type(value))
+        for key, value in overrides.items():
+            if not hasattr(cfg, key):
+                raise KeyError(f"unknown config key: {key}")
+            setattr(cfg, key, value)
+        return cfg
+
+
+def _parse_ini(path: str) -> dict:
+    """Parse the reference's ``Key: Value`` format (config_loader.h:26-56).
+
+    Lines without a colon are skipped; whitespace around key and value is
+    stripped; later duplicates win.
+    """
+    out = {}
+    with open(path, "r") as f:
+        for line in f:
+            if ":" not in line:
+                continue
+            key, _, value = line.partition(":")
+            key = key.strip()
+            value = value.strip()
+            if key:
+                out[key] = value
+    return out

@@ -1,0 +1,79 @@
+"""Scene-level closest-hit and any-hit queries.
+
+Fuses the per-family kernels with the reference driver's chaining protocol
+(``main.cpp:314-321``): families are queried in the order
+sphere -> plane -> cylinder -> triangles(kd-tree), each clipped at the
+running closest t, and a later family wins only on a *strictly* smaller t.
+In the wavefront design this is a single masked min-reduction; the kd-tree
+still receives the tightened clip from the cheap families first, preserving
+both the pruning and the tie semantics.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .ops import cylinder as cyl_ops
+from .ops import plane as plane_ops
+from .ops import sphere as sphere_ops
+from .ops import triangle as tri_ops
+from .ops.ray import INF, FamilyHit, Hit, closer
+
+
+def _triangles_closest(scene, o, d, t_max, cfg) -> FamilyHit:
+    if scene.n_triangles == 0:
+        n = o.shape[0]
+        return FamilyHit(t=jnp.full((n,), INF), normal=jnp.zeros((n, 3)), color=jnp.zeros((n, 3)))
+    if scene.kd is not None:
+        from .ops.traverse import kd_closest
+
+        t_best, idx, hit = kd_closest(scene.kd, scene.triangles, o, d, t_max, cfg)
+        return tri_ops.triangle_hit_attrs(scene.triangles, o, d, idx, hit, scene.mesh_colors)
+    return tri_ops.intersect_triangles_brute(scene.triangles, scene.mesh_colors, o, d, t_max)
+
+
+def _triangles_occluded(scene, o, d, t_max, cfg) -> jnp.ndarray:
+    if scene.n_triangles == 0:
+        return jnp.zeros(o.shape[:-1], bool)
+    if scene.kd is not None:
+        from .ops.traverse import kd_any
+
+        return kd_any(scene.kd, scene.triangles, o, d, t_max, cfg)
+    return tri_ops.occluded_triangles_brute(jax.lax.stop_gradient(scene.triangles.verts), o, d, t_max)
+
+
+def closest_hit(scene, o, d, cfg, t_max=None) -> Hit:
+    """Globally closest hit across all families (the per-pixel family chain
+    of main.cpp:312-321 collapsed into one fused reduction)."""
+    n = o.shape[0]
+    if t_max is None:
+        t_max = jnp.full((n,), INF, jnp.float32)
+    eps = cfg.Epsilon
+
+    best = sphere_ops.intersect_spheres(scene.spheres, o, d, t_max)
+    best = closer(best, plane_ops.intersect_planes(scene.planes, o, d, jnp.minimum(best.t, t_max), eps))
+    best = closer(
+        best,
+        cyl_ops.intersect_cylinders(
+            scene.cylinders, o, d, jnp.minimum(best.t, t_max), eps,
+            color_bug=cfg.replicate_reference_bugs,
+        ),
+    )
+    best = closer(best, _triangles_closest(scene, o, d, jnp.minimum(best.t, t_max), cfg))
+
+    mask = best.t < t_max
+    t_safe = jnp.where(mask, best.t, 0.0)
+    point = o + d * t_safe[:, None]
+    return Hit(t=best.t, point=point, normal=best.normal, color=best.color, mask=mask)
+
+
+def occluded(scene, o, d, t_max, cfg) -> jnp.ndarray:
+    """Any-hit visibility query: True where something blocks strictly before
+    t_max (canSeeLight's family chain, main.cpp:198-218, as one OR)."""
+    eps = cfg.Epsilon
+    blocked = sphere_ops.occluded_spheres(scene.spheres, o, d, t_max)
+    blocked |= plane_ops.occluded_planes(scene.planes, o, d, t_max, eps)
+    blocked |= cyl_ops.occluded_cylinders(scene.cylinders, o, d, t_max, eps)
+    blocked |= _triangles_occluded(scene, o, d, t_max, cfg)
+    return blocked

@@ -1,0 +1,129 @@
+"""Whitted-style wavefront integrator.
+
+TPU-native replacement for the reference's per-pixel recursion loop
+(``rayTrace``, ``main.cpp:273-347``): instead of one pixel at a time through
+a 10-deep bounce loop, a whole SoA wavefront of rays advances bounce-by-
+bounce under ``lax.scan``, with inactive (missed) rays masked out — the
+break at main.cpp:322-325 becomes a persistent active mask.
+
+Per-bounce semantics (main.cpp:312-334), preserved exactly:
+  weight  w_k = 2^-k
+  final   = (1 - w_k) * final + w_k * (hit.color * lightingFactor)
+  bounce  d' = reflect(d, n);  o' = hit + d' * Epsilon
+and rays terminate at the first miss.
+
+The image API tiles rays through ``lax.map`` so arbitrarily large frames
+render in bounded memory; tiles are the unit later sharded across chips
+(the reference's row-block threading, main.cpp:371-394, becomes data
+parallelism over ray tiles).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .camera import primary_rays
+from .config import Config
+from .intersect import closest_hit
+from .shading import lighting_factor
+from .utils.math import reflect
+
+
+def render_rays(scene, o, d, pixel_dirs, cfg: Config) -> jnp.ndarray:
+    """Trace a wavefront of rays to final linear RGB colors (N, 3)."""
+    n = o.shape[0]
+
+    def bounce(carry, k):
+        o, d, final, active = carry
+        hit = closest_hit(scene, o, d, cfg)
+        active = active & hit.mask
+        factor = lighting_factor(scene, hit.point, hit.normal, pixel_dirs, cfg, active)
+        color = hit.color * factor[:, None]
+        w = jnp.exp2(-k.astype(jnp.float32))  # main.cpp:326
+        blended = (1.0 - w) * final + w * color
+        final = jnp.where(active[:, None], blended, final)
+        d_new = reflect(d, hit.normal)  # main.cpp:332
+        o_new = hit.point + d_new * cfg.Epsilon  # main.cpp:333
+        o = jnp.where(active[:, None], o_new, o)
+        d = jnp.where(active[:, None], d_new, d)
+        return (o, d, final, active), None
+
+    init = (o, d, jnp.zeros((n, 3), jnp.float32), jnp.ones((n,), bool))
+    (_, _, final, _), _ = jax.lax.scan(bounce, init, jnp.arange(cfg.recursion_depth))
+    return final
+
+
+def _render_tiles(scene, o, d, d_raw, cfg: Config) -> jnp.ndarray:
+    """Sequentially map ``render_rays`` over fixed-size ray tiles."""
+    n = o.shape[0]
+    tile = min(cfg.ray_tile, n)
+    pad = (-n) % tile
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)], 0)
+        d = jnp.concatenate([d, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], d.dtype), (pad, 1))], 0)
+        d_raw = jnp.concatenate([d_raw, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], d.dtype), (pad, 1))], 0)
+    num_tiles = (n + pad) // tile
+    ot = o.reshape(num_tiles, tile, 3)
+    dt = d.reshape(num_tiles, tile, 3)
+    rt = d_raw.reshape(num_tiles, tile, 3)
+    colors = jax.lax.map(lambda args: render_rays(scene, *args, cfg), (ot, dt, rt))
+    return colors.reshape(-1, 3)[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _render_image_jit(scene, cfg: Config) -> jnp.ndarray:
+    o, d, d_raw = primary_rays(cfg.Width, cfg.Height)
+    colors = _render_tiles(scene, o, d, d_raw, cfg)
+    return colors.reshape(cfg.Height, cfg.Width, 3)
+
+
+def render_image(scene, cfg: Config) -> jnp.ndarray:
+    """Render the full frame to linear float RGB (H, W, 3)."""
+    # Config is a mutable dataclass; freeze a hashable snapshot for jit.
+    frozen = _FrozenConfig.from_config(cfg)
+    return _render_image_jit(scene, frozen)
+
+
+def quantize_u8(img: jnp.ndarray) -> np.ndarray:
+    """clamp(c*255, 0, 255) then truncating u8 cast — toOutputChannelType
+    (main.cpp:168-171) followed by glm's float->uint8 static_cast."""
+    arr = np.asarray(jnp.clip(img * 255.0, 0.0, 255.0))
+    return arr.astype(np.uint8)
+
+
+class _FrozenConfig:
+    """Hashable, immutable view of Config for use as a jit static arg."""
+
+    __slots__ = ("_items",)
+
+    def __init__(self, items: tuple):
+        object.__setattr__(self, "_items", items)
+
+    @classmethod
+    def from_config(cls, cfg: Config):
+        if isinstance(cfg, cls):
+            return cfg
+        items = tuple(sorted((k, getattr(cfg, k)) for k in cfg.__dataclass_fields__))
+        return cls(items)
+
+    def __getattr__(self, name):
+        for k, v in self._items:
+            if k == name:
+                return v
+        if name == "Ratio":
+            return float(self.Width) / float(self.Height)
+        raise AttributeError(name)
+
+    @property
+    def Ratio(self):
+        return float(self.Width) / float(self.Height)
+
+    def __hash__(self):
+        return hash(self._items)
+
+    def __eq__(self, other):
+        return isinstance(other, _FrozenConfig) and self._items == other._items

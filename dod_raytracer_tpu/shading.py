@@ -1,0 +1,76 @@
+"""Differentiable Whitted shading: ambient + Lambert + Phong + shadows.
+
+Replicates ``getLightingFactor`` and its helpers (``main.cpp:156-244``):
+
+  factor = 0.2                                   # shadeAmbientFactor :156-159
+         + sum over visible lights of
+             ( max(0, n . normalize(lp - p))     # shadeDiffuseFactor :161-166
+             + max(0, reflect(ldir, n) . pixdir)^7  # shadeSpecularFactor :173-180
+             ) * intensity / |lp - p|^2          # quadratic falloff :231-233
+
+Reference quirks preserved for pixel parity:
+  * the specular term dots against the *original un-normalized pixel ray
+    direction* at every bounce (main.cpp:328 passes the outer ``rayDir``);
+  * glm::reflect's sign convention reflect(L, N) = L - 2 (N.L) N with L
+    pointing *toward* the light;
+  * shadow ray origin offset is ``hit + 0.01 * ldir`` (main.cpp:192), not
+    Config::Epsilon.
+
+Visibility is a step function: its gradient is defined a.e. and we
+stop-gradient the boolean (SURVEY.md §7 hard part #2).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .intersect import occluded
+from .utils.math import dot, normalize, reflect
+
+AMBIENT = 0.2  # main.cpp:158
+SPECULAR_POW = 7.0  # main.cpp:178
+SHADOW_OFFSET = 0.01  # main.cpp:192
+
+
+def light_visibility(scene, points, cfg) -> jnp.ndarray:
+    """(N, L) bool — canSeeLight (main.cpp:182-219) for all rays x lights."""
+    n = points.shape[0]
+    lp = scene.lights.position  # (L, 3)
+    L = lp.shape[0]
+    to_light = lp[None, :, :] - points[:, None, :]  # (N, L, 3)
+    dist = jnp.sqrt(jnp.sum(to_light * to_light, axis=-1))  # (N, L)
+    ldir = to_light / jnp.maximum(dist, 1e-30)[..., None]
+    o = (points[:, None, :] + ldir * SHADOW_OFFSET).reshape(n * L, 3)
+    d = ldir.reshape(n * L, 3)
+    t_max = dist.reshape(n * L)
+    blocked = occluded(scene, o, d, t_max, cfg)
+    return ~blocked.reshape(n, L)
+
+
+def lighting_factor(scene, points, normals, pixel_dirs, cfg, active=None) -> jnp.ndarray:
+    """(N,) scalar lighting factor (getLightingFactor, main.cpp:221-244).
+
+    ``pixel_dirs`` is the un-normalized primary direction (parity quirk).
+    ``active`` masks rays whose shadow queries should be skipped (their
+    factor is still computed but visibility is forced False to avoid
+    wasted-ray NaNs from garbage hit points).
+    """
+    visible = jax.lax.stop_gradient(light_visibility(scene, points, cfg))  # (N, L)
+    if active is not None:
+        visible &= active[:, None]
+    lp = scene.lights.position  # (L, 3)
+    li = scene.lights.intensity  # (L,)
+
+    to_light = lp[None, :, :] - points[:, None, :]  # (N, L, 3)
+    dist_sq = jnp.maximum(jnp.sum(to_light * to_light, axis=-1), 1e-30)
+    ldir = to_light * jax.lax.rsqrt(dist_sq)[..., None]
+    dist_factor = li[None, :] / dist_sq  # main.cpp:233
+
+    diffuse = jnp.maximum(0.0, jnp.sum(normals[:, None, :] * ldir, axis=-1))  # :164
+    refl = ldir - 2.0 * jnp.sum(normals[:, None, :] * ldir, axis=-1, keepdims=True) * normals[:, None, :]  # glm::reflect(ldir, n)
+    spec_dot = jnp.maximum(0.0, jnp.sum(refl * pixel_dirs[:, None, :], axis=-1))  # :178 vs raw pixel dir
+    specular = spec_dot ** SPECULAR_POW
+
+    per_light = jnp.where(visible, (diffuse + specular) * dist_factor, 0.0)
+    return AMBIENT + jnp.sum(per_light, axis=-1)

@@ -1,0 +1,79 @@
+"""Golden-image tests: the jitted wavefront renderer vs the scalar numpy
+oracle, pixel-allclose (SURVEY.md §4; BASELINE.md pixel-parity target)."""
+
+import numpy as np
+import pytest
+
+from dod_raytracer_tpu import Config, SceneBuilder, render_image, quantize_u8
+from dod_raytracer_tpu.oracle import renderer as oracle
+
+
+def build_small_scene():
+    """BASELINE config 2 style: spheres + walls + cylinder + lights."""
+    b = SceneBuilder()
+    b.add_sphere((0.0, 0.0, 2.0), 1.0, (0.9, 0.2, 0.2))
+    b.add_sphere((-2.0, 1.0, 3.0), 1.0, (0.2, 0.9, 0.2))
+    b.add_sphere((2.0, -1.0, 1.0), 0.7, (0.2, 0.2, 0.9))
+    walls = [
+        ((0.0, 0.0, -1.0), (0.0, 0.0, 5.0), (0.195, 0.410, 0.610)),
+        ((0.0, 0.0, 1.0), (0.0, 0.0, -5.0), (0.493, 0.265, 0.590)),
+        ((0.0, -1.0, 0.0), (0.0, 5.0, 0.0), (0.276, 0.600, 0.411)),
+        ((0.0, 1.0, 0.0), (0.0, -5.0, 0.0), (0.292, 0.680, 0.674)),
+        ((1.0, 0.0, 0.0), (-5.0, 0.0, 0.0), (0.720, 0.288, 0.389)),
+        ((-1.0, 0.0, 0.0), (5.0, 0.0, 0.0), (0.680, 0.224, 0.224)),
+    ]
+    for n, p, c in walls:
+        b.add_plane(p, n, c)
+    b.add_cylinder((-2.0, 0.0, 2.0), (2.2, 5.0, 2.0), 1.5, 4.0, (0.5, 0.4, 0.1))
+    b.add_light((0.0, 0.0, -2.0), 3.0)
+    b.add_light((4.0, 4.3, 3.3), 1.0)
+    b.add_light((-2.9, 4.2, 3.8), 1.0)
+    return b
+
+
+@pytest.mark.parametrize("size", [(24, 32)])
+def test_render_matches_oracle(size):
+    h, w = size
+    cfg = Config(Width=w, Height=h, use_kdtree=False, ray_tile=1024)
+    b = build_small_scene()
+    scene = b.build(cfg)
+    oscene = oracle.OracleScene.from_builder(b)
+
+    img = np.asarray(render_image(scene, cfg))
+    ref = oracle.render(oscene, w, h, eps=cfg.Epsilon, depth=cfg.recursion_depth)
+
+    # float32 associativity differences across 10 bounces: allow small abs tol
+    bad = np.abs(img - ref) > 2e-3
+    frac_bad = bad.mean()
+    assert frac_bad < 0.01, f"{frac_bad:.4%} of channels off; max diff {np.abs(img - ref).max()}"
+    # quantized images agree except at most a few edge pixels
+    q_jax, q_ref = quantize_u8(img), oracle.quantize_u8(ref)
+    diff = (np.abs(q_jax.astype(int) - q_ref.astype(int)) > 1).mean()
+    assert diff < 0.01, f"u8 mismatch fraction {diff:.4%}"
+
+
+def test_render_sphere_lambert_minimal():
+    """BASELINE config 1: single sphere + one light."""
+    cfg = Config(Width=32, Height=32, use_kdtree=False, ray_tile=1024, recursion_depth=1)
+    b = SceneBuilder()
+    b.add_sphere((0.0, 0.0, 2.0), 1.0, (1.0, 0.0, 0.0))
+    b.add_light((0.0, 3.0, -2.0), 3.0)
+    scene = b.build(cfg)
+    oscene = oracle.OracleScene.from_builder(b)
+    img = np.asarray(render_image(scene, cfg))
+    ref = oracle.render(oscene, 32, 32, depth=1)
+    np.testing.assert_allclose(img, ref, atol=1e-4)
+
+
+def test_miss_is_black_and_bounce_weights():
+    cfg = Config(Width=16, Height=16, use_kdtree=False, ray_tile=256)
+    b = SceneBuilder()
+    b.add_sphere((0.0, 0.0, 3.0), 0.5, (1.0, 1.0, 1.0))
+    b.add_light((0.0, 0.0, -4.0), 5.0)
+    scene = b.build(cfg)
+    img = np.asarray(render_image(scene, cfg))
+    # corner pixels miss everything -> exactly black (main.cpp:303,322-325)
+    assert img[0, 0].max() == 0.0
+    assert img[-1, -1].max() == 0.0
+    # center hits
+    assert img[8, 8].max() > 0.0
