@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Flagship workload (BASELINE.md): the reference scene recipe with the
+dragon-scale mesh (~870k tris, procedural stand-in for the stripped
+``assets/dragon.obj``) at 1080p — 16 spheres + 6 walls + cylinder + 9 point
+lights, 10-bounce Whitted with shadowed Phong, kd-tree traversal — on one
+TPU chip.
+
+Metric: primary rays/sec (pixels traced per second through the full
+integrator; each primary ray spawns up to 10 bounces x (1 closest-hit +
+9 shadow any-hits), so total ray casts/sec is up to ~100x this number).
+
+``vs_baseline`` compares against the round-1 TPU measurement pinned in
+``BASELINE_RAYS_PER_SEC`` (the reference itself publishes no numbers —
+SURVEY.md §6); >1.0 means faster than the first TPU build.
+
+Usage:
+  python bench.py            # flagship: dragon @1080p fwd
+  python bench.py --small    # teapot @512x512 (smoke)
+  python bench.py --grad     # dragon fwd+bwd (vertex-position gradients)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Round-1 pinned measurement (primary rays/sec, 1 TPU v5e chip, dragon@1080p
+# fwd). Update only when re-baselining is explicitly intended.
+BASELINE_RAYS_PER_SEC = None  # set after first real-chip measurement
+
+
+def build_flagship(small: bool):
+    from dod_raytracer_tpu.config import Config
+    from dod_raytracer_tpu.render import _FrozenConfig
+    from dod_raytracer_tpu.scene import default_scene
+
+    if small:
+        cfg = Config(Width=512, Height=512, use_kdtree=True, ray_tile=32768)
+        mesh = "teapot"
+    else:
+        cfg = Config(Width=1920, Height=1080, use_kdtree=True, ray_tile=65536)
+        mesh = "dragon"
+    frozen = _FrozenConfig.from_config(cfg)
+    scene = default_scene(seed=0, cfg=cfg, mesh=mesh).build(cfg)
+    return scene, frozen
+
+
+def bench_forward(scene, cfg, repeats=3):
+    from dod_raytracer_tpu.render import render_image
+
+    img = render_image(scene, cfg)  # compile + warmup
+    img.block_until_ready()
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        img = render_image(scene, cfg)
+        img.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    t = float(np.median(times))
+    assert not bool(jnp.isnan(img).any()), "NaNs in benchmark render"
+    return (cfg.Width * cfg.Height) / t, t
+
+
+def bench_grad(scene, cfg, repeats=3):
+    import functools
+
+    from dod_raytracer_tpu.camera import primary_rays
+    from dod_raytracer_tpu.render import render_rays
+
+    o, d, d_raw = primary_rays(cfg.Width, cfg.Height)
+    n = o.shape[0]
+    tile = cfg.ray_tile
+
+    def full(verts):
+        s = scene.replace(triangles=scene.triangles.replace(verts=verts))
+
+        def tile_loss(args, s=s):
+            ot, dt, rt = args
+            return jnp.sum(render_rays(s, ot, dt, rt, cfg) ** 2)
+
+        k = n // tile
+        ot = o[: k * tile].reshape(k, tile, 3)
+        dt = d[: k * tile].reshape(k, tile, 3)
+        rt = d_raw[: k * tile].reshape(k, tile, 3)
+        return jnp.sum(jax.lax.map(tile_loss, (ot, dt, rt)))
+
+    g_fn = jax.jit(jax.value_and_grad(full))
+    val, g = g_fn(scene.triangles.verts)  # compile + warmup
+    g.block_until_ready()
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        val, g = g_fn(scene.triangles.verts)
+        g.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    t = float(np.median(times))
+    assert bool(jnp.isfinite(val)), val
+    k = n // cfg.ray_tile
+    return (k * cfg.ray_tile) / t, t
+
+
+def main():
+    small = "--small" in sys.argv
+    grad = "--grad" in sys.argv
+    scene, cfg = build_flagship(small)
+    if grad:
+        rays_s, sec = bench_grad(scene, cfg)
+        metric = "primary_rays_per_sec_fwd_bwd"
+    else:
+        rays_s, sec = bench_forward(scene, cfg)
+        metric = "primary_rays_per_sec_fwd"
+    if small:
+        metric += "_teapot512"
+    vs = rays_s / BASELINE_RAYS_PER_SEC if BASELINE_RAYS_PER_SEC else 1.0
+    print(json.dumps({
+        "metric": metric,
+        "value": round(rays_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,56 @@
+"""kd-tree build orchestration: host build -> device KDArrays.
+
+The build itself is O(N log N) pointer-chasing — a host workload, not a TPU
+one (SURVEY.md §2 #12): runs in C++ (native/kdtree_build.cpp) when the
+shared library is built, else the numpy reference builder.  The *output* is
+flat device tensors consumed by the Pallas/XLA traversal.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import _kdtree_np
+from ..scene import KDArrays
+
+
+def build_kdtree(tri_verts: np.ndarray, cfg) -> KDArrays:
+    built = None
+    try:
+        from ..native import kdtree_native
+
+        built = kdtree_native.build(
+            tri_verts,
+            lane_size=cfg.lane_size,
+            max_prims=cfg.MaxPrims,
+            intersect_cost=float(cfg.IntersectCost),
+            traversal_cost=float(cfg.TraversalCost),
+            empty_bonus=float(cfg.EmptyBonus),
+        )
+    except Exception:
+        built = None
+    if built is None:
+        built = _kdtree_np.build(
+            tri_verts,
+            lane_size=cfg.lane_size,
+            max_prims=cfg.MaxPrims,
+            intersect_cost=float(cfg.IntersectCost),
+            traversal_cost=float(cfg.TraversalCost),
+            empty_bonus=float(cfg.EmptyBonus),
+        )
+
+    perm = _kdtree_np.perm_from_prim_nums(built.prim_nums, tri_verts.shape[0], cfg.lane_size)
+    return KDArrays(
+        node_flag=jnp.asarray(built.node_flag),
+        node_split=jnp.asarray(built.node_split),
+        node_right=jnp.asarray(built.node_right),
+        node_leaf_start=jnp.asarray(built.node_leaf_start),
+        node_leaf_lanes=jnp.asarray(built.node_leaf_lanes),
+        bounds_min=jnp.asarray(built.bounds_min),
+        bounds_max=jnp.asarray(built.bounds_max),
+        tri_perm=jnp.asarray(perm),
+        lane_size=int(cfg.lane_size),
+        num_lanes=int(built.prim_nums.shape[0]),
+        max_leaf_lanes=int(built.max_leaf_lanes),
+    )

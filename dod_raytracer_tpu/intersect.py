@@ -58,6 +58,7 @@ def closest_hit(scene, o, d, cfg, t_max=None) -> Hit:
         cyl_ops.intersect_cylinders(
             scene.cylinders, o, d, jnp.minimum(best.t, t_max), eps,
             color_bug=cfg.replicate_reference_bugs,
+            n_valid=scene.n_cylinders,
         ),
     )
     best = closer(best, _triangles_closest(scene, o, d, jnp.minimum(best.t, t_max), cfg))
@@ -74,6 +75,6 @@ def occluded(scene, o, d, t_max, cfg) -> jnp.ndarray:
     eps = cfg.Epsilon
     blocked = sphere_ops.occluded_spheres(scene.spheres, o, d, t_max)
     blocked |= plane_ops.occluded_planes(scene.planes, o, d, t_max, eps)
-    blocked |= cyl_ops.occluded_cylinders(scene.cylinders, o, d, t_max, eps)
+    blocked |= cyl_ops.occluded_cylinders(scene.cylinders, o, d, t_max, eps, n_valid=scene.n_cylinders)
     blocked |= _triangles_occluded(scene, o, d, t_max, cfg)
     return blocked

@@ -32,8 +32,13 @@ from ..utils.math import dot, safe_div, safe_sqrt
 from .ray import FamilyHit, INF
 
 
-def cylinder_candidate_t(cyl, o, d, t_max, eps):
-    """Candidates (N, C, 3) in order [body, discA(0), discB(height)]."""
+def cylinder_candidate_t(cyl, o, d, t_max, eps, n_valid=None):
+    """Candidates (N, C, 3) in order [body, discA(0), discB(height)].
+
+    ``n_valid``: static count of real (non-padding) cylinders; padded
+    columns are masked to +inf so degenerate padding can never hit nor
+    poison gradients.
+    """
     base, axis = cyl.base, cyl.axis  # (C,3)
     r_sq = (cyl.radius * cyl.radius)[None, :]  # (1,C)
     height = cyl.height[None, :]
@@ -84,11 +89,15 @@ def cylinder_candidate_t(cyl, o, d, t_max, eps):
     t_disc_a = disc_t(jnp.zeros_like(height))
     t_disc_b = disc_t(height)
 
-    return jnp.stack([t_body, t_disc_a, t_disc_b], axis=-1)  # (N, C, 3)
+    cand = jnp.stack([t_body, t_disc_a, t_disc_b], axis=-1)  # (N, C, 3)
+    if n_valid is not None and n_valid < cyl.base.shape[0]:
+        col_ok = jnp.arange(cyl.base.shape[0]) < n_valid
+        cand = jnp.where(col_ok[None, :, None], cand, INF)
+    return cand
 
 
-def intersect_cylinders(cyl, o, d, t_max, eps, color_bug: bool = False) -> FamilyHit:
-    t_cand = cylinder_candidate_t(cyl, o, d, t_max, eps)  # (N, C, 3)
+def intersect_cylinders(cyl, o, d, t_max, eps, color_bug: bool = False, n_valid=None) -> FamilyHit:
+    t_cand = cylinder_candidate_t(cyl, o, d, t_max, eps, n_valid)  # (N, C, 3)
     n = o.shape[0]
     flat = t_cand.reshape(n, -1)  # cylinder-major, candidate-minor: ref order
     idx = jax.lax.stop_gradient(jnp.argmin(flat, axis=1))
@@ -141,6 +150,6 @@ def intersect_cylinders(cyl, o, d, t_max, eps, color_bug: bool = False) -> Famil
     return FamilyHit(t=t, normal=normal, color=color)
 
 
-def occluded_cylinders(cyl, o, d, t_max, eps) -> jnp.ndarray:
-    t_cand = cylinder_candidate_t(cyl, o, d, t_max, eps)
+def occluded_cylinders(cyl, o, d, t_max, eps, n_valid=None) -> jnp.ndarray:
+    t_cand = cylinder_candidate_t(cyl, o, d, t_max, eps, n_valid)
     return jnp.any(t_cand.reshape(o.shape[0], -1) < t_max[:, None], axis=1)

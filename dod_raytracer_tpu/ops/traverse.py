@@ -1,0 +1,203 @@
+"""Wavefront kd-tree traversal.
+
+TPU-native replacement for the reference's pbrt-style pointer walk
+(``KDTree::intersect``, ``kdtree.cpp:263-361``): the whole ray batch steps
+in lockstep through one ``lax.while_loop`` — each ray carries its own node
+cursor, [tmin, tmax] interval and a fixed-depth worklist stack (the
+reference's ``workItem worklist[64]``, kdtree.cpp:279, as (N, 64) arrays)
+— and divergence is handled by per-ray masks instead of thread divergence.
+
+Per iteration each active ray performs exactly one reference while-loop
+step: an interior descend (near/far child ordering + optional far push,
+kdtree.cpp:290-329) or one *chunk* of a leaf's triangle lanes
+(``Triangle::intersectInRange`` over the contiguous reordered span,
+kdtree.cpp:334-344), with multi-chunk leaves spanning iterations via a
+lane cursor.  All scene data is gathered from flat device tensors.
+
+Semantics preserved:
+* early break when the tightened clip falls below the node tmin
+  (kdtree.cpp:286-289);
+* near/far ordering including the origin-on-plane tie rule
+  (kdtree.cpp:297-299);
+* far-child skip rules ``tPlane > tmax || tPlane <= 0`` / ``tPlane < tmin``
+  (kdtree.cpp:312-319);
+* strict-improvement leaf hits with duplicated straddler lanes resolving
+  to the first-tested copy.
+
+The traversal is int-valued (winning triangle id): callers stop-gradient
+it and recompute the hit differentiably (SURVEY.md §7 — gradients flow
+through hit geometry, not traversal decisions).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .aabb import slab_test
+from .ray import INF
+from .triangle import mt_t
+
+
+def _gather_leaf_t(tri_verts, tri_perm, o, d, leaf_start, cursor, lanes_this,
+                   lane_size, chunk_lanes):
+    """Candidate t over one chunk of reordered lanes per ray.
+
+    Returns (t (N, C*lane), orig_tri (N, C*lane)) with +inf where invalid.
+    """
+    n = o.shape[0]
+    chunk = chunk_lanes * lane_size
+    base_slot = (leaf_start + cursor) * lane_size  # (N,)
+    slot = base_slot[:, None] + jnp.arange(chunk, dtype=jnp.int32)[None, :]  # (N, C)
+    in_leaf = jnp.arange(chunk, dtype=jnp.int32)[None, :] < (lanes_this * lane_size)[:, None]
+    slot_c = jnp.clip(slot, 0, tri_perm.shape[0] - 1)
+    orig = tri_perm[slot_c]  # (N, C) — -1 for padding slots
+    valid = in_leaf & (orig >= 0)
+    verts = tri_verts[jnp.maximum(orig, 0)]  # (N, C, 3, 3)
+    t = mt_t(verts, o, d, pairwise=False)
+    return jnp.where(valid, t, INF), orig
+
+
+def _traverse(kd, tri_verts, o, d, t_max, cfg, any_hit: bool):
+    n = o.shape[0]
+    stack_depth = cfg.stack_depth
+    chunk_lanes = cfg.leaf_chunk_lanes
+    lane_size = kd.lane_size
+
+    inv_d = 1.0 / d
+    root_hit, tmin0, tmax0 = slab_test(kd.bounds_min, kd.bounds_max, o, inv_d, t_max)
+    # kdtree.cpp:274 — also reject when tmin > clippingDistance
+    active0 = root_hit & ~(tmin0 > t_max)
+
+    state = dict(
+        active=active0,
+        node=jnp.zeros((n,), jnp.int32),
+        tmin=tmin0,
+        tmax=tmax0,
+        sp=jnp.zeros((n,), jnp.int32),
+        stack_node=jnp.zeros((n, stack_depth), jnp.int32),
+        stack_tmin=jnp.zeros((n, stack_depth), jnp.float32),
+        stack_tmax=jnp.zeros((n, stack_depth), jnp.float32),
+        cursor=jnp.zeros((n,), jnp.int32),
+        t_best=t_max.astype(jnp.float32),
+        prim_best=jnp.full((n,), -1, jnp.int32),
+        found=jnp.zeros((n,), bool),
+    )
+
+    rows = jnp.arange(n)
+
+    def cond(s):
+        return jnp.any(s["active"])
+
+    def body(s):
+        act = s["active"]
+        # --- break check (kdtree.cpp:286-289): clip < tmin -> done
+        clip = jnp.minimum(s["t_best"], t_max)
+        act = act & ~(clip < s["tmin"])
+
+        node = s["node"]
+        flag = kd.node_flag[node]
+        is_leaf = flag == 3
+        do_interior = act & ~is_leaf
+        do_leaf = act & is_leaf
+
+        # ---------- interior step (kdtree.cpp:290-329) ----------
+        axis = jnp.clip(flag, 0, 2)
+        split = kd.node_split[node]
+        o_ax = jnp.take_along_axis(o, axis[:, None], axis=1)[:, 0]
+        d_ax = jnp.take_along_axis(d, axis[:, None], axis=1)[:, 0]
+        inv_ax = jnp.take_along_axis(inv_d, axis[:, None], axis=1)[:, 0]
+        t_plane = (split - o_ax) * inv_ax
+        left_first = (o_ax < split) | ((o_ax == split) & (d_ax <= 0.0))
+        right = kd.node_right[node]
+        near = jnp.where(left_first, node + 1, right)
+        far = jnp.where(left_first, right, node + 1)
+
+        skip_far = (t_plane > s["tmax"]) | (t_plane <= 0.0)
+        skip_near = ~skip_far & (t_plane < s["tmin"])
+        push = ~skip_far & ~skip_near
+
+        node_i = jnp.where(skip_far, near, jnp.where(skip_near, far, near))
+        tmax_i = jnp.where(push, t_plane, s["tmax"])
+
+        do_push = do_interior & push
+        sp = s["sp"]
+        sp_c = jnp.clip(sp, 0, cfg.stack_depth - 1)
+        stack_node = s["stack_node"].at[rows, sp_c].set(
+            jnp.where(do_push, far, s["stack_node"][rows, sp_c]))
+        stack_tmin = s["stack_tmin"].at[rows, sp_c].set(
+            jnp.where(do_push, t_plane, s["stack_tmin"][rows, sp_c]))
+        stack_tmax = s["stack_tmax"].at[rows, sp_c].set(
+            jnp.where(do_push, s["tmax"], s["stack_tmax"][rows, sp_c]))
+        sp = jnp.where(do_push, sp + 1, sp)
+
+        # ---------- leaf step (kdtree.cpp:331-358) ----------
+        leaf_start = kd.node_leaf_start[node]
+        leaf_lanes = kd.node_leaf_lanes[node]
+        lanes_this = jnp.clip(leaf_lanes - s["cursor"], 0, chunk_lanes)
+        t_chunk, orig = _gather_leaf_t(
+            tri_verts, kd.tri_perm, o, d, leaf_start, s["cursor"], lanes_this,
+            lane_size, chunk_lanes)
+        t_chunk = jnp.where(do_leaf[:, None], t_chunk, INF)
+        a = jnp.argmin(t_chunk, axis=1)
+        t_leaf = jnp.take_along_axis(t_chunk, a[:, None], axis=1)[:, 0]
+        prim_leaf = jnp.take_along_axis(orig, a[:, None], axis=1)[:, 0]
+        improved = do_leaf & (t_leaf < clip)
+        t_best = jnp.where(improved, t_leaf, s["t_best"])
+        prim_best = jnp.where(improved, prim_leaf, s["prim_best"])
+        found = s["found"] | improved
+
+        cursor = jnp.where(do_leaf, s["cursor"] + chunk_lanes, s["cursor"])
+        leaf_done = do_leaf & (cursor >= leaf_lanes)
+        if any_hit:
+            # returnOnAny (kdtree.cpp:338-341): stop this ray immediately
+            leaf_done = leaf_done & ~improved
+            act = act & ~(do_leaf & improved)
+
+        # pop worklist or finish (kdtree.cpp:347-357)
+        can_pop = sp > 0
+        pop = leaf_done & can_pop
+        sp_pop = jnp.clip(sp - 1, 0, cfg.stack_depth - 1)
+        node_p = stack_node[rows, sp_pop]
+        tmin_p = stack_tmin[rows, sp_pop]
+        tmax_p = stack_tmax[rows, sp_pop]
+        act = act & ~(leaf_done & ~can_pop)
+
+        # ---------- merge ----------
+        node = jnp.where(do_interior, node_i, jnp.where(pop, node_p, node))
+        tmin = jnp.where(pop, tmin_p, s["tmin"])
+        tmax = jnp.where(do_interior, tmax_i, jnp.where(pop, tmax_p, s["tmax"]))
+        sp = jnp.where(pop, sp - 1, sp)
+        cursor = jnp.where(pop, 0, cursor)
+
+        return dict(
+            active=act, node=node, tmin=tmin, tmax=tmax, sp=sp,
+            stack_node=stack_node, stack_tmin=stack_tmin, stack_tmax=stack_tmax,
+            cursor=cursor, t_best=t_best, prim_best=prim_best, found=found,
+        )
+
+    out = jax.lax.while_loop(cond, body, state)
+    return out["t_best"], out["prim_best"], out["found"]
+
+
+def kd_closest(kd, triangles, o, d, t_max, cfg):
+    """Closest-hit traversal -> (t_best (N,), orig tri idx (N,), hit (N,)).
+
+    Forward-only (inputs stop-gradiented); recompute attributes via
+    ``triangle_hit_attrs`` for gradients.
+    """
+    verts = jax.lax.stop_gradient(triangles.verts)
+    o_s = jax.lax.stop_gradient(o)
+    d_s = jax.lax.stop_gradient(d)
+    t_s = jax.lax.stop_gradient(t_max)
+    t_best, prim, found = _traverse(kd, verts, o_s, d_s, t_s, cfg, any_hit=False)
+    return t_best, jnp.maximum(prim, 0), found & (t_best < t_s)
+
+
+def kd_any(kd, triangles, o, d, t_max, cfg):
+    """Any-hit traversal (shadow rays): True where occluded before t_max."""
+    verts = jax.lax.stop_gradient(triangles.verts)
+    _, _, found = _traverse(
+        kd, verts, jax.lax.stop_gradient(o), jax.lax.stop_gradient(d),
+        jax.lax.stop_gradient(t_max), cfg, any_hit=True)
+    return found

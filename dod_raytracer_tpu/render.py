@@ -52,7 +52,9 @@ def render_rays(scene, o, d, pixel_dirs, cfg: Config) -> jnp.ndarray:
         d = jnp.where(active[:, None], d_new, d)
         return (o, d, final, active), None
 
-    init = (o, d, jnp.zeros((n, 3), jnp.float32), jnp.ones((n,), bool))
+    # derive carry init from the (possibly shard_map-varying) ray arrays so
+    # the scan carry has consistent varying-manual-axes under shard_map
+    init = (o, d, jnp.zeros_like(o), jnp.ones_like(o[:, 0], dtype=bool))
     (_, _, final, _), _ = jax.lax.scan(bounce, init, jnp.arange(cfg.recursion_depth))
     return final
 

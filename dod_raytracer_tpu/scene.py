@@ -204,10 +204,13 @@ class SceneBuilder:
             ch = np.array([c[3] for c in self._cylinders], np.float32)
             ccol = np.stack([c[4] for c in self._cylinders])
         else:
-            cb = np.full((1, 3), _PAD_BIG, np.float32)
+            # Padding values must stay finite in every intermediate (squares,
+            # cross terms) or 0*inf=NaN poisons backward cotangents; the
+            # static n_cylinders mask in intersect_cylinders rejects them.
+            cb = np.array([[0.0, 1.0e3, 0.0]], np.float32)
             ca = np.tile(np.array([0, 0, 1], np.float32), (1, 1))
             cr = np.zeros((1,), np.float32)
-            ch = np.full((1,), -1.0, np.float32)
+            ch = np.ones((1,), np.float32)
             ccol = np.zeros((1, 3), np.float32)
 
         if self._tri_verts:

@@ -34,18 +34,21 @@ SHADOW_OFFSET = 0.01  # main.cpp:192
 
 
 def light_visibility(scene, points, cfg) -> jnp.ndarray:
-    """(N, L) bool — canSeeLight (main.cpp:182-219) for all rays x lights."""
-    n = points.shape[0]
-    lp = scene.lights.position  # (L, 3)
-    L = lp.shape[0]
-    to_light = lp[None, :, :] - points[:, None, :]  # (N, L, 3)
-    dist = jnp.sqrt(jnp.sum(to_light * to_light, axis=-1))  # (N, L)
-    ldir = to_light / jnp.maximum(dist, 1e-30)[..., None]
-    o = (points[:, None, :] + ldir * SHADOW_OFFSET).reshape(n * L, 3)
-    d = ldir.reshape(n * L, 3)
-    t_max = dist.reshape(n * L)
-    blocked = occluded(scene, o, d, t_max, cfg)
-    return ~blocked.reshape(n, L)
+    """(N, L) bool — canSeeLight (main.cpp:182-219) for all rays x lights.
+
+    Lights are processed sequentially (lax.map) so the shadow wavefront
+    stays at N rays — batching N*L through the kd traversal multiplies the
+    leaf-gather working set by L and OOMs HBM at production tile sizes.
+    """
+    def one_light(lp):
+        to_light = lp[None, :] - points  # (N, 3)
+        dist = jnp.sqrt(jnp.sum(to_light * to_light, axis=-1))
+        ldir = to_light / jnp.maximum(dist, 1e-30)[:, None]
+        o = points + ldir * SHADOW_OFFSET
+        return occluded(scene, o, ldir, dist, cfg)
+
+    blocked = jax.lax.map(one_light, scene.lights.position)  # (L, N)
+    return ~blocked.T
 
 
 def lighting_factor(scene, points, normals, pixel_dirs, cfg, active=None) -> jnp.ndarray:

@@ -1,0 +1,144 @@
+"""kd-tree build + traversal tests: structural invariants of the SAH
+builder and exact agreement of the wavefront traversal with brute force
+(the traversal's oracle), plus end-to-end kd-vs-brute renders."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dod_raytracer_tpu.config import Config
+from dod_raytracer_tpu.accel._kdtree_np import LEAF_FLAG, build, perm_from_prim_nums
+from dod_raytracer_tpu.mesh import load_mesh_asset, procedural_dragon
+from dod_raytracer_tpu.ops.traverse import kd_any, kd_closest
+from dod_raytracer_tpu.ops.triangle import brute_force_closest, occluded_triangles_brute
+from dod_raytracer_tpu.scene import SceneBuilder
+
+
+@pytest.fixture(scope="module")
+def teapot():
+    return load_mesh_asset("teapot")
+
+
+@pytest.fixture(scope="module")
+def teapot_scene(teapot):
+    cfg = Config(use_kdtree=True)
+    b = SceneBuilder()
+    b.add_mesh(*teapot)
+    b.add_light((0, 3, -3), 3.0)
+    return b.build(cfg), cfg
+
+
+def random_rays(n, seed=0, spread=6.0):
+    rng = np.random.default_rng(seed)
+    o = (rng.random((n, 3), dtype=np.float32) * 2 - 1) * spread
+    d = rng.standard_normal((n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d.astype(np.float32))
+
+
+class TestBuilder:
+    def test_structure_invariants(self, teapot):
+        tv, _ = teapot
+        built = build(tv)
+        M = built.node_flag.shape[0]
+        leaves = built.node_flag == LEAF_FLAG
+        interior = ~leaves
+        # right children point forward and within bounds (preorder layout)
+        ri = built.node_right[interior]
+        assert (ri > np.nonzero(interior)[0]).all() and (ri < M).all()
+        # every leaf's lane span is inside prim_nums
+        ends = built.node_leaf_start[leaves] + built.node_leaf_lanes[leaves]
+        assert (ends <= built.prim_nums.shape[0]).all()
+        # leaf spans exactly tile prim_nums (contiguous, in order)
+        spans = sorted(zip(built.node_leaf_start[leaves], ends))
+        pos = 0
+        for s, e in spans:
+            assert s == pos
+            pos = e
+        assert pos == built.prim_nums.shape[0]
+        # all lanes appear in at least one leaf (no lost primitives)
+        num_lanes = (tv.shape[0] + 7) // 8
+        assert np.unique(built.prim_nums).shape[0] == num_lanes
+
+    def test_world_bounds(self, teapot):
+        tv, _ = teapot
+        built = build(tv)
+        np.testing.assert_allclose(built.bounds_min, tv.reshape(-1, 3).min(0), atol=1e-6)
+        np.testing.assert_allclose(built.bounds_max, tv.reshape(-1, 3).max(0), atol=1e-6)
+
+    def test_perm_expansion(self):
+        prim_nums = np.array([2, 0], np.int32)
+        perm = perm_from_prim_nums(prim_nums, num_tris=18, lane_size=8)
+        np.testing.assert_array_equal(perm[:8], [16, 17, -1, -1, -1, -1, -1, -1])
+        np.testing.assert_array_equal(perm[8:], np.arange(8))
+
+    def test_single_lane_mesh_is_leaf_root(self):
+        rng = np.random.default_rng(1)
+        tv = rng.standard_normal((5, 3, 3)).astype(np.float32)
+        built = build(tv)
+        assert built.node_flag.shape[0] == 1 and built.node_flag[0] == LEAF_FLAG
+
+
+class TestTraversal:
+    def test_matches_brute_force(self, teapot_scene):
+        scene, cfg = teapot_scene
+        o, d = random_rays(1024, seed=3)
+        t_max = jnp.full((1024,), jnp.inf)
+        t_kd, prim_kd, hit_kd = kd_closest(scene.kd, scene.triangles, o, d, t_max, cfg)
+        t_bf, prim_bf = brute_force_closest(scene.triangles.verts, o, d)
+        hit_bf = t_bf < t_max
+        np.testing.assert_array_equal(np.asarray(hit_kd), np.asarray(hit_bf))
+        h = np.asarray(hit_kd)
+        np.testing.assert_allclose(np.asarray(t_kd)[h], np.asarray(t_bf)[h], rtol=0, atol=0)
+        np.testing.assert_array_equal(np.asarray(prim_kd)[h], np.asarray(prim_bf)[h])
+
+    def test_clipped_t_max(self, teapot_scene):
+        scene, cfg = teapot_scene
+        o, d = random_rays(512, seed=4)
+        t_max = jnp.full((512,), 4.0)
+        t_kd, _, hit_kd = kd_closest(scene.kd, scene.triangles, o, d, t_max, cfg)
+        t_bf, _ = brute_force_closest(scene.triangles.verts, o, d)
+        np.testing.assert_array_equal(np.asarray(hit_kd), np.asarray(t_bf < 4.0))
+        h = np.asarray(hit_kd)
+        np.testing.assert_allclose(np.asarray(t_kd)[h], np.asarray(t_bf)[h])
+
+    def test_any_hit(self, teapot_scene):
+        scene, cfg = teapot_scene
+        o, d = random_rays(512, seed=5)
+        t_max = jnp.full((512,), 5.0)
+        a_kd = kd_any(scene.kd, scene.triangles, o, d, t_max, cfg)
+        a_bf = occluded_triangles_brute(scene.triangles.verts, o, d, t_max)
+        np.testing.assert_array_equal(np.asarray(a_kd), np.asarray(a_bf))
+
+    def test_rays_from_inside_bbox(self, teapot_scene):
+        scene, cfg = teapot_scene
+        o, d = random_rays(256, seed=6, spread=1.5)  # inside the teapot bounds
+        t_max = jnp.full((256,), jnp.inf)
+        t_kd, _, hit_kd = kd_closest(scene.kd, scene.triangles, o, d, t_max, cfg)
+        t_bf, _ = brute_force_closest(scene.triangles.verts, o, d)
+        np.testing.assert_array_equal(np.asarray(hit_kd), np.asarray(t_bf < np.inf))
+        h = np.asarray(hit_kd)
+        np.testing.assert_allclose(np.asarray(t_kd)[h], np.asarray(t_bf)[h])
+
+
+def test_render_kd_equals_brute(teapot):
+    from dod_raytracer_tpu import render_image
+
+    tv, tn = teapot
+    lights = [((0.0, 0.0, -2.0), 3.0), ((4.0, 4.3, 3.3), 1.0)]
+
+    def build_scene(use_kd):
+        cfg = Config(Width=48, Height=32, use_kdtree=use_kd, ray_tile=2048)
+        b = SceneBuilder()
+        b.add_mesh(tv, tn)
+        b.add_plane((0.0, 0.0, 5.0), (0.0, 0.0, -1.0), (0.2, 0.4, 0.6))
+        for p, i in lights:
+            b.add_light(p, i)
+        return b.build(cfg), cfg
+
+    s_kd, cfg_kd = build_scene(True)
+    s_bf, cfg_bf = build_scene(False)
+    img_kd = np.asarray(render_image(s_kd, cfg_kd))
+    img_bf = np.asarray(render_image(s_bf, cfg_bf))
+    np.testing.assert_allclose(img_kd, img_bf, atol=1e-5)
