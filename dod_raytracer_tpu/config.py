@@ -34,6 +34,7 @@ class Config:
     leaf_chunk_lanes: int = 8  # lanes intersected per traversal step
     stack_depth: int = 64  # traversal worklist depth (kdtree.cpp:279)
     use_kdtree: bool = True
+    triangle_backend: str = "jnp"  # brute-force path: 'jnp' | 'pallas'
     replicate_reference_bugs: bool = False  # e.g. cylinder hit color dropped
 
     @property

@@ -89,19 +89,16 @@ def _traverse(kd, tri_verts, o, d, t_max, cfg, any_hit: bool):
     def cond(s):
         return jnp.any(s["active"])
 
-    def body(s):
+    def interior_step(s):
+        """One reference interior-node step for every active non-leaf ray
+        (kdtree.cpp:290-329)."""
         act = s["active"]
-        # --- break check (kdtree.cpp:286-289): clip < tmin -> done
         clip = jnp.minimum(s["t_best"], t_max)
-        act = act & ~(clip < s["tmin"])
-
+        act = act & ~(clip < s["tmin"])  # break check (kdtree.cpp:286-289)
         node = s["node"]
         flag = kd.node_flag[node]
-        is_leaf = flag == 3
-        do_interior = act & ~is_leaf
-        do_leaf = act & is_leaf
+        do_interior = act & (flag != 3)
 
-        # ---------- interior step (kdtree.cpp:290-329) ----------
         axis = jnp.clip(flag, 0, 2)
         split = kd.node_split[node]
         o_ax = jnp.take_along_axis(o, axis[:, None], axis=1)[:, 0]
@@ -131,7 +128,32 @@ def _traverse(kd, tri_verts, o, d, t_max, cfg, any_hit: bool):
             jnp.where(do_push, s["tmax"], s["stack_tmax"][rows, sp_c]))
         sp = jnp.where(do_push, sp + 1, sp)
 
-        # ---------- leaf step (kdtree.cpp:331-358) ----------
+        return dict(
+            s,
+            active=jnp.where(s["active"] & (flag != 3), act, s["active"]),
+            node=jnp.where(do_interior, node_i, node),
+            tmax=jnp.where(do_interior, tmax_i, s["tmax"]),
+            sp=sp, stack_node=stack_node, stack_tmin=stack_tmin,
+            stack_tmax=stack_tmax,
+        )
+
+    def body(s):
+        # ---------- phase A: descend all rays to their next leaf ----------
+        # (node stepping only — no triangle gathers are issued until every
+        # active ray sits at a leaf, so HBM traffic is leaf-work only)
+        s = jax.lax.while_loop(
+            lambda s2: jnp.any(s2["active"] & (kd.node_flag[s2["node"]] != 3)),
+            interior_step, s)
+
+        act = s["active"]
+        clip = jnp.minimum(s["t_best"], t_max)
+        act = act & ~(clip < s["tmin"])
+        node = s["node"]
+        do_leaf = act  # every active ray is at a leaf now
+        sp = s["sp"]
+        stack_node, stack_tmin, stack_tmax = s["stack_node"], s["stack_tmin"], s["stack_tmax"]
+
+        # ---------- phase B: leaf chunk (kdtree.cpp:331-358) ----------
         leaf_start = kd.node_leaf_start[node]
         leaf_lanes = kd.node_leaf_lanes[node]
         lanes_this = jnp.clip(leaf_lanes - s["cursor"], 0, chunk_lanes)
@@ -164,9 +186,9 @@ def _traverse(kd, tri_verts, o, d, t_max, cfg, any_hit: bool):
         act = act & ~(leaf_done & ~can_pop)
 
         # ---------- merge ----------
-        node = jnp.where(do_interior, node_i, jnp.where(pop, node_p, node))
+        node = jnp.where(pop, node_p, node)
         tmin = jnp.where(pop, tmin_p, s["tmin"])
-        tmax = jnp.where(do_interior, tmax_i, jnp.where(pop, tmax_p, s["tmax"]))
+        tmax = jnp.where(pop, tmax_p, s["tmax"])
         sp = jnp.where(pop, sp - 1, sp)
         cursor = jnp.where(pop, 0, cursor)
 
