@@ -69,41 +69,45 @@ def bench_forward(scene, cfg, repeats=3):
 
 
 def bench_grad(scene, cfg, repeats=3):
-    import functools
-
+    """Forward+backward throughput: per-tile grad accumulation dispatched
+    from the host (one compile; same structure as render_image)."""
     from dod_raytracer_tpu.camera import primary_rays
     from dod_raytracer_tpu.render import render_rays
 
     o, d, d_raw = primary_rays(cfg.Width, cfg.Height)
     n = o.shape[0]
-    tile = cfg.ray_tile
+    tile = min(cfg.ray_tile, n)
+    k = n // tile  # drop the ragged remainder for benchmarking
 
-    def full(verts):
-        s = scene.replace(triangles=scene.triangles.replace(verts=verts))
-
-        def tile_loss(args, s=s):
-            ot, dt, rt = args
+    @jax.jit
+    def tile_grad(verts, ot, dt, rt):
+        def f(v):
+            s = scene.replace(triangles=scene.triangles.replace(verts=v))
             return jnp.sum(render_rays(s, ot, dt, rt, cfg) ** 2)
 
-        k = n // tile
-        ot = o[: k * tile].reshape(k, tile, 3)
-        dt = d[: k * tile].reshape(k, tile, 3)
-        rt = d_raw[: k * tile].reshape(k, tile, 3)
-        return jnp.sum(jax.lax.map(tile_loss, (ot, dt, rt)))
+        return jax.value_and_grad(f)(verts)
 
-    g_fn = jax.jit(jax.value_and_grad(full))
-    val, g = g_fn(scene.triangles.verts)  # compile + warmup
+    def full():
+        total = 0.0
+        g_acc = None
+        for i in range(k):
+            sl = slice(i * tile, (i + 1) * tile)
+            val, g = tile_grad(scene.triangles.verts, o[sl], d[sl], d_raw[sl])
+            total += val
+            g_acc = g if g_acc is None else g_acc + g
+        return total, g_acc
+
+    val, g = full()  # compile + warmup
     g.block_until_ready()
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        val, g = g_fn(scene.triangles.verts)
+        val, g = full()
         g.block_until_ready()
         times.append(time.perf_counter() - t0)
     t = float(np.median(times))
     assert bool(jnp.isfinite(val)), val
-    k = n // cfg.ray_tile
-    return (k * cfg.ray_tile) / t, t
+    return (k * tile) / t, t
 
 
 def main():

@@ -41,23 +41,43 @@ def mse_loss(scene, target, cfg, width=None, height=None):
 
 
 def split_float_params(scene, params: Sequence[str]) -> dict:
-    """Extract the selected scene subtrees with integer leaves (e.g.
-    triangle mesh ids) dropped, so the result is a valid grad input."""
+    """Extract the selected scene parameters as a grad-ready dict.
+
+    Entries are either a whole family subtree ('spheres', 'lights', ...)
+    or a dotted leaf path ('spheres.color', 'lights.intensity',
+    'triangles.verts') for fine-grained optimization.  Integer leaves are
+    dropped (None) so the result is a valid grad input.
+    """
     def keep(x):
         return x if jnp.issubdtype(jnp.asarray(x).dtype, jnp.inexact) else None
 
-    return {p: jax.tree_util.tree_map(keep, getattr(scene, p)) for p in params}
+    diff = {}
+    for p in params:
+        if "." in p:
+            fam, field = p.split(".", 1)
+            diff[p] = keep(getattr(getattr(scene, fam), field))
+        else:
+            diff[p] = jax.tree_util.tree_map(keep, getattr(scene, p))
+    return diff
 
 
 def merge_params(scene, diff: dict):
     """Inverse of split_float_params: None leaves keep the scene's value."""
-    updates = {}
+    updates: dict = {}
     for p, sub in diff.items():
-        orig = getattr(scene, p)
-        updates[p] = jax.tree_util.tree_map(
-            lambda o_leaf, d_leaf: o_leaf if d_leaf is None else d_leaf,
-            orig, sub, is_leaf=lambda x: x is None,
-        )
+        if "." in p:
+            fam, field = p.split(".", 1)
+            cur = updates.get(fam, getattr(scene, fam))
+            if sub is not None:
+                cur = cur.replace(**{field: sub})
+            updates[fam] = cur
+        else:
+            assert p not in updates, f"mixing '{p}' with dotted paths of the same family"
+            orig = getattr(scene, p)
+            updates[p] = jax.tree_util.tree_map(
+                lambda o_leaf, d_leaf: o_leaf if d_leaf is None else d_leaf,
+                orig, sub, is_leaf=lambda x: x is None,
+            )
     return scene.replace(**updates)
 
 

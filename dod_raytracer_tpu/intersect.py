@@ -25,6 +25,11 @@ def _triangles_closest(scene, o, d, t_max, cfg) -> FamilyHit:
     if scene.n_triangles == 0:
         n = o.shape[0]
         return FamilyHit(t=jnp.full((n,), INF), normal=jnp.zeros((n, 3)), color=jnp.zeros((n, 3)))
+    axis = getattr(cfg, "tri_shard_axis", "")
+    if axis:
+        from .parallel.leaf_shard import sharded_triangles_closest
+
+        return sharded_triangles_closest(scene, o, d, t_max, cfg, axis)
     if scene.kd is not None:
         from .ops.traverse import kd_closest
 
@@ -46,6 +51,11 @@ def _triangles_closest(scene, o, d, t_max, cfg) -> FamilyHit:
 def _triangles_occluded(scene, o, d, t_max, cfg) -> jnp.ndarray:
     if scene.n_triangles == 0:
         return jnp.zeros(o.shape[:-1], bool)
+    axis = getattr(cfg, "tri_shard_axis", "")
+    if axis:
+        from .parallel.leaf_shard import sharded_triangles_occluded
+
+        return sharded_triangles_occluded(scene, o, d, t_max, cfg, axis)
     if scene.kd is not None:
         from .ops.traverse import kd_any
 

@@ -59,35 +59,38 @@ def render_rays(scene, o, d, pixel_dirs, cfg: Config) -> jnp.ndarray:
     return final
 
 
-def _render_tiles(scene, o, d, d_raw, cfg: Config) -> jnp.ndarray:
-    """Sequentially map ``render_rays`` over fixed-size ray tiles."""
-    n = o.shape[0]
-    tile = min(cfg.ray_tile, n)
-    pad = (-n) % tile
-    if pad:
-        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)], 0)
-        d = jnp.concatenate([d, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], d.dtype), (pad, 1))], 0)
-        d_raw = jnp.concatenate([d_raw, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], d.dtype), (pad, 1))], 0)
-    num_tiles = (n + pad) // tile
-    ot = o.reshape(num_tiles, tile, 3)
-    dt = d.reshape(num_tiles, tile, 3)
-    rt = d_raw.reshape(num_tiles, tile, 3)
-    colors = jax.lax.map(lambda args: render_rays(scene, *args, cfg), (ot, dt, rt))
-    return colors.reshape(-1, 3)[:n]
-
-
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _render_image_jit(scene, cfg: Config) -> jnp.ndarray:
-    o, d, d_raw = primary_rays(cfg.Width, cfg.Height)
-    colors = _render_tiles(scene, o, d, d_raw, cfg)
-    return colors.reshape(cfg.Height, cfg.Width, 3)
+def _render_tile_jit(scene, o, d, d_raw, cfg) -> jnp.ndarray:
+    return render_rays(scene, o, d, d_raw, cfg)
 
 
 def render_image(scene, cfg: Config) -> jnp.ndarray:
-    """Render the full frame to linear float RGB (H, W, 3)."""
-    # Config is a mutable dataclass; freeze a hashable snapshot for jit.
+    """Render the full frame to linear float RGB (H, W, 3).
+
+    Tiles are dispatched from the host against ONE jitted per-tile
+    program (all tiles share the shape, so there is a single compile and
+    tiles pipeline through the device queue).  A device-side loop
+    (lax.map/scan over tiles) is deliberately avoided: wrapping the
+    traversal while_loop in another compiled loop explodes compile time
+    and has crashed the TPU runtime at production sizes.
+    """
     frozen = _FrozenConfig.from_config(cfg)
-    return _render_image_jit(scene, frozen)
+    o, d, d_raw = primary_rays(frozen.Width, frozen.Height)
+    n = o.shape[0]
+    tile = min(frozen.ray_tile, n)
+    pad = (-n) % tile
+    if pad:
+        fill_d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], d.dtype), (pad, 1))
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)], 0)
+        d = jnp.concatenate([d, fill_d], 0)
+        d_raw = jnp.concatenate([d_raw, fill_d], 0)
+    num_tiles = (n + pad) // tile
+    outs = []
+    for i in range(num_tiles):
+        sl = slice(i * tile, (i + 1) * tile)
+        outs.append(_render_tile_jit(scene, o[sl], d[sl], d_raw[sl], frozen))
+    colors = outs[0] if num_tiles == 1 else jnp.concatenate(outs, axis=0)
+    return colors[:n].reshape(frozen.Height, frozen.Width, 3)
 
 
 def quantize_u8(img: jnp.ndarray) -> np.ndarray:
