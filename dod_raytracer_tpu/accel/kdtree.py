@@ -40,8 +40,10 @@ def build_kdtree(tri_verts: np.ndarray, cfg) -> KDArrays:
             empty_bonus=float(cfg.EmptyBonus),
         )
 
+    built = _kdtree_np.align_leaves(built, cfg.leaf_chunk_lanes)
     perm = _kdtree_np.perm_from_prim_nums(built.prim_nums, tri_verts.shape[0], cfg.lane_size)
-    return KDArrays(
+    block = cfg.leaf_chunk_lanes * cfg.lane_size
+    kd = KDArrays(
         node_flag=jnp.asarray(built.node_flag),
         node_split=jnp.asarray(built.node_split),
         node_right=jnp.asarray(built.node_right),
@@ -50,7 +52,29 @@ def build_kdtree(tri_verts: np.ndarray, cfg) -> KDArrays:
         bounds_min=jnp.asarray(built.bounds_min),
         bounds_max=jnp.asarray(built.bounds_max),
         tri_perm=jnp.asarray(perm),
+        block_orig=jnp.asarray(perm).reshape(-1, block),
         lane_size=int(cfg.lane_size),
         num_lanes=int(built.prim_nums.shape[0]),
         max_leaf_lanes=int(built.max_leaf_lanes),
+        block_lanes=int(cfg.leaf_chunk_lanes),
     )
+    return refresh_kd_blocks(kd, jnp.asarray(tri_verts))
+
+
+def refresh_kd_blocks(kd: KDArrays, tri_verts) -> KDArrays:
+    """(Re)materialize the pre-gathered triangle blocks from the current
+    vertex array.  Must be called after vertex updates (e.g. each
+    inverse-rendering step) so the traversal's forward data stays in sync;
+    the gather itself is differentiable-free (traversal is stop-grad)."""
+    import jax
+
+    if kd.block_orig is None:
+        return kd
+    orig = kd.block_orig  # (B, S)
+    verts = jax.lax.stop_gradient(tri_verts)[jnp.maximum(orig, 0)]  # (B, S, 3, 3)
+    A = verts[..., 0, :]
+    e1 = verts[..., 1, :] - A
+    e2 = verts[..., 2, :] - A
+    rows = jnp.concatenate([A, e1, e2], axis=-1)  # (B, S, 9)
+    rows = jnp.where((orig >= 0)[..., None], rows, 0.0)
+    return kd.replace(block_tris=rows)

@@ -78,7 +78,15 @@ def merge_params(scene, diff: dict):
                 lambda o_leaf, d_leaf: o_leaf if d_leaf is None else d_leaf,
                 orig, sub, is_leaf=lambda x: x is None,
             )
-    return scene.replace(**updates)
+    out = scene.replace(**updates)
+    # vertex updates invalidate the kd-tree's pre-gathered triangle blocks
+    # (the traversal's forward data): refresh them from the new vertices.
+    touched_verts = any(p == "triangles" or p.startswith("triangles.") for p in diff)
+    if touched_verts and out.kd is not None and out.kd.block_tris is not None:
+        from .accel.kdtree import refresh_kd_blocks
+
+        out = out.replace(kd=refresh_kd_blocks(out.kd, out.triangles.verts))
+    return out
 
 
 def loss_and_param_grads(scene, target, cfg, params: Sequence[str] = ("spheres", "lights")):

@@ -35,14 +35,21 @@ def _triangles_closest(scene, o, d, t_max, cfg) -> FamilyHit:
 
         t_best, idx, hit = kd_closest(scene.kd, scene.triangles, o, d, t_max, cfg)
         return tri_ops.triangle_hit_attrs(scene.triangles, o, d, idx, hit, scene.mesh_colors)
-    if getattr(cfg, "triangle_backend", "jnp") == "pallas":
+    backend = getattr(cfg, "triangle_backend", "jnp")
+    if backend in ("pallas", "plucker"):
         from .ops.pallas.mt_kernel import mt_closest_pallas, on_tpu, swizzle_tris
 
         verts = jax.lax.stop_gradient(scene.triangles.verts)
-        soa = swizzle_tris(verts)
-        t_best, idx = mt_closest_pallas(soa, jax.lax.stop_gradient(o),
-                                        jax.lax.stop_gradient(d),
-                                        interpret=not on_tpu())
+        o_s = jax.lax.stop_gradient(o)
+        d_s = jax.lax.stop_gradient(d)
+        if backend == "plucker":
+            from .ops.pallas.plucker_kernel import plucker_closest, plucker_pack
+
+            t_best, idx = plucker_closest(plucker_pack(verts), o_s, d_s,
+                                          interpret=not on_tpu())
+        else:
+            t_best, idx = mt_closest_pallas(swizzle_tris(verts), o_s, d_s,
+                                            interpret=not on_tpu())
         hit = t_best < t_max
         return tri_ops.triangle_hit_attrs(scene.triangles, o, d, idx, hit, scene.mesh_colors)
     return tri_ops.intersect_triangles_brute(scene.triangles, scene.mesh_colors, o, d, t_max)

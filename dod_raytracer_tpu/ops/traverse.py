@@ -36,16 +36,30 @@ import jax.numpy as jnp
 
 from .aabb import slab_test
 from .ray import INF
-from .triangle import mt_t
+from .triangle import mt_t, mt_t_edges
 
 
-def _gather_leaf_t(tri_verts, tri_perm, o, d, leaf_start, cursor, lanes_this,
+def _gather_leaf_t(kd, tri_verts, o, d, leaf_start, cursor, lanes_this,
                    lane_size, chunk_lanes):
     """Candidate t over one chunk of reordered lanes per ray.
 
+    Blocked fast path (kd.block_tris present): leaves are block-aligned,
+    so the chunk is exactly one row of the pre-gathered (B, S, 9) block
+    array — a single contiguous ~2.3KB gather per ray instead of S
+    scattered 36-byte vertex rows.
+
     Returns (t (N, C*lane), orig_tri (N, C*lane)) with +inf where invalid.
     """
-    n = o.shape[0]
+    if kd.block_tris is not None:
+        assert kd.block_lanes == chunk_lanes, (kd.block_lanes, chunk_lanes)
+        block = jnp.clip((leaf_start + cursor) // chunk_lanes, 0,
+                         kd.block_tris.shape[0] - 1)
+        rows = kd.block_tris[block]  # (N, S, 9)
+        orig = kd.block_orig[block]  # (N, S)
+        t = mt_t_edges(rows[..., 0:3], rows[..., 3:6], rows[..., 6:9], o, d)
+        return jnp.where(orig >= 0, t, INF), orig
+
+    tri_perm = kd.tri_perm
     chunk = chunk_lanes * lane_size
     base_slot = (leaf_start + cursor) * lane_size  # (N,)
     slot = base_slot[:, None] + jnp.arange(chunk, dtype=jnp.int32)[None, :]  # (N, C)
@@ -158,7 +172,7 @@ def _traverse(kd, tri_verts, o, d, t_max, cfg, any_hit: bool):
         leaf_lanes = kd.node_leaf_lanes[node]
         lanes_this = jnp.clip(leaf_lanes - s["cursor"], 0, chunk_lanes)
         t_chunk, orig = _gather_leaf_t(
-            tri_verts, kd.tri_perm, o, d, leaf_start, s["cursor"], lanes_this,
+            kd, tri_verts, o, d, leaf_start, s["cursor"], lanes_this,
             lane_size, chunk_lanes)
         t_chunk = jnp.where(do_leaf[:, None], t_chunk, INF)
         a = jnp.argmin(t_chunk, axis=1)

@@ -35,6 +35,31 @@ from ..utils.math import cross, dot, safe_div
 from .ray import FamilyHit, INF
 
 
+def mt_t_edges(A, e1, e2, o, d):
+    """Candidate t from precomputed-edge SoA blocks.
+
+    Args:
+      A, e1, e2: (N, K, 3) per-ray triangle blocks (A, B-A, C-A).
+      o, d: (N, 3) rays.
+    Returns: t (N, K), +inf invalid (t > 0 enforced).
+    """
+    d_b = d[:, None, :]
+    o_b = o[:, None, :]
+    pvec = jnp.cross(d_b, e2)
+    det = jnp.sum(pvec * e1, axis=-1)
+    valid = jnp.abs(det) > 0.0
+    inv_det = safe_div(jnp.ones_like(det), det, valid)
+    tvec = o_b - A
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    valid &= (u > 0.0) & (u < 1.0)
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(d_b * qvec, axis=-1) * inv_det
+    valid &= (v > 0.0) & (u + v < 1.0)
+    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    valid &= t > 0.0
+    return jnp.where(valid, t, INF)
+
+
 def mt_t(verts, o, d, pairwise: bool = True):
     """Candidate t for rays x triangles.
 

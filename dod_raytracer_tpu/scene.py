@@ -98,9 +98,16 @@ class KDArrays:
     bounds_min: jnp.ndarray  # (3,) f32 — world bound (kdtree.cpp:78-91)
     bounds_max: jnp.ndarray  # (3,) f32
     tri_perm: jnp.ndarray  # (K*lane,) i32 — original-tri index per reordered slot, -1 pad
+    # blocked leaf-major layout (TPU fast path): leaves are aligned to
+    # block_lanes-lane blocks; block_orig[b, j] is the original tri id of
+    # slot j in block b (-1 empty), block_tris the pre-gathered [A|e1|e2]
+    # rows so a leaf chunk fetch is ONE contiguous row gather per ray.
+    block_orig: Optional[jnp.ndarray] = None  # (B, block_lanes*lane) i32
+    block_tris: Optional[jnp.ndarray] = None  # (B, block_lanes*lane, 9) f32
     lane_size: int = struct.field(pytree_node=False, default=8)
     num_lanes: int = struct.field(pytree_node=False, default=0)  # reordered lane count K
     max_leaf_lanes: int = struct.field(pytree_node=False, default=0)
+    block_lanes: int = struct.field(pytree_node=False, default=0)
 
 
 @struct.dataclass

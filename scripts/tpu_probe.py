@@ -1,0 +1,104 @@
+"""TPU microbenchmark probe: time the candidate triangle-intersection
+paths in isolation to pick the production configuration.
+
+Run: python scripts/tpu_probe.py [N_rays] [mesh]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dod_raytracer_tpu.config import Config
+from dod_raytracer_tpu.mesh import load_mesh_asset, procedural_dragon
+from dod_raytracer_tpu.scene import SceneBuilder
+
+
+def timeit(name, fn, *args, repeats=3):
+    t0 = time.time()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+    times = []
+    for _ in range(repeats):
+        t0 = time.time()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        times.append(time.time() - t0)
+    run_s = float(np.median(times))
+    print(f"{name}: compile+1st {compile_s:.2f}s, run {run_s * 1e3:.1f}ms", flush=True)
+    return out, run_s
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
+    mesh_name = sys.argv[2] if len(sys.argv) > 2 else "teapot"
+    print("devices:", jax.devices(), flush=True)
+
+    if mesh_name == "dragon":
+        tv, tn = procedural_dragon()
+    else:
+        tv, tn = load_mesh_asset(mesh_name)
+    cfg = Config(use_kdtree=True)
+    b = SceneBuilder()
+    b.add_mesh(tv, tn)
+    b.add_light((0, 3, -3), 3.0)
+    scene = b.build(cfg)
+    print(f"mesh {mesh_name}: {tv.shape[0]} tris, kd nodes "
+          f"{scene.kd.node_flag.shape[0]}, reordered lanes {scene.kd.num_lanes}", flush=True)
+
+    rng = np.random.default_rng(0)
+    o = ((rng.random((n, 3)) * 2 - 1) * 4).astype(np.float32)
+    d = rng.standard_normal((n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d.astype(np.float32))
+    t_max = jnp.full((n,), jnp.inf)
+
+    # 1. Pallas brute force
+    from dod_raytracer_tpu.ops.pallas.mt_kernel import mt_closest_pallas, swizzle_tris
+
+    soa = swizzle_tris(jnp.asarray(tv))
+    (t_p, i_p), s_pallas = timeit(
+        "pallas brute", jax.jit(lambda o, d: mt_closest_pallas(soa, o, d)), o, d)
+    print(f"  -> {n / s_pallas / 1e6:.2f} Mrays/s, "
+          f"{n * tv.shape[0] / s_pallas / 1e12:.2f} Tpair/s", flush=True)
+
+    # 1b. Plücker MXU brute force
+    from dod_raytracer_tpu.ops.pallas.plucker_kernel import plucker_closest, plucker_pack
+
+    g = plucker_pack(jnp.asarray(tv))
+    (t_pk, i_pk), s_pk = timeit(
+        "plucker MXU brute", jax.jit(lambda o, d: plucker_closest(g, o, d)), o, d)
+    print(f"  -> {n / s_pk / 1e6:.2f} Mrays/s, "
+          f"{n * tv.shape[0] / s_pk / 1e9:.1f} Gpair/s", flush=True)
+
+    # 2. jnp brute force (chunked scan)
+    from dod_raytracer_tpu.ops.triangle import brute_force_closest
+
+    (t_b, i_b), s_jnp = timeit(
+        "jnp brute", jax.jit(lambda o, d: brute_force_closest(scene.triangles.verts, o, d)), o, d)
+    print(f"  -> {n / s_jnp / 1e6:.2f} Mrays/s", flush=True)
+
+    # cross-check
+    hp, hb = np.isfinite(np.asarray(t_p)), np.isfinite(np.asarray(t_b))
+    print(f"  pallas vs jnp: hit mismatch {int((hp ^ hb).sum())}", flush=True)
+
+    # 3. kd traversal
+    from dod_raytracer_tpu.ops.traverse import kd_closest
+
+    (t_k, i_k, h_k), s_kd = timeit(
+        "kd traversal",
+        jax.jit(lambda o, d, t: kd_closest(scene.kd, scene.triangles, o, d, t, cfg)),
+        o, d, t_max)
+    print(f"  -> {n / s_kd / 1e6:.2f} Mrays/s", flush=True)
+    hk = np.asarray(h_k)
+    print(f"  kd vs jnp: hit mismatch {int((hk ^ hb).sum())}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -54,6 +54,33 @@ class TestMTKernel:
         assert r.shape == (256, 8) and n == 10
 
 
+class TestPluckerKernel:
+    def test_matches_brute_force_teapot(self):
+        from dod_raytracer_tpu.ops.pallas.plucker_kernel import plucker_closest, plucker_pack
+
+        tv, _ = load_mesh_asset("teapot")
+        o, d = rays(512)
+        g = plucker_pack(jnp.asarray(tv))
+        t_p, i_p = plucker_closest(g, o, d, interpret=True)
+        t_b, i_b = brute_force_closest(jnp.asarray(tv), o, d)
+        hp, hb = np.isfinite(np.asarray(t_p)), np.isfinite(np.asarray(t_b))
+        np.testing.assert_array_equal(hp, hb)
+        np.testing.assert_allclose(np.asarray(t_p)[hp], np.asarray(t_b)[hp], rtol=1e-4)
+        np.testing.assert_array_equal(np.asarray(i_p)[hp], np.asarray(i_b)[hp])
+
+    def test_double_sided_and_degenerate(self):
+        from dod_raytracer_tpu.ops.pallas.plucker_kernel import plucker_closest, plucker_pack
+
+        tri = jnp.asarray([[[-1, -1, 2], [1, -1, 2], [0, 1, 2]],
+                           [[0, 0, 0], [0, 0, 0], [0, 0, 0]]], jnp.float32)
+        g = plucker_pack(tri)
+        o = jnp.asarray([[0, 0, 0], [0, 0, 4]], jnp.float32)
+        d = jnp.asarray([[0, 0, 1], [0, 0, -1]], jnp.float32)  # front + back side
+        t, idx = plucker_closest(g, o, d, interpret=True)
+        np.testing.assert_allclose(np.asarray(t), [2.0, 2.0], atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(idx), [0, 0])
+
+
 def test_pallas_backend_render_matches_jnp():
     from dod_raytracer_tpu import render_image
 
