@@ -34,7 +34,8 @@ class Config:
     leaf_chunk_lanes: int = 8  # lanes intersected per traversal step
     stack_depth: int = 64  # traversal worklist depth (kdtree.cpp:279)
     use_kdtree: bool = True
-    triangle_backend: str = "jnp"  # brute-force path: 'jnp' | 'pallas'
+    triangle_backend: str = "jnp"  # brute-force path: 'jnp' | 'pallas' | 'plucker'
+    traversal_backend: str = "xla"  # kd traversal leaf stage: 'xla' | 'binned'
     tri_shard_axis: str = ""  # mesh axis name when triangles are leaf-sharded
     replicate_reference_bugs: bool = False  # e.g. cylinder hit color dropped
 

@@ -72,40 +72,11 @@ def _gather_leaf_t(kd, tri_verts, o, d, leaf_start, cursor, lanes_this,
     return jnp.where(valid, t, INF), orig
 
 
-def _traverse(kd, tri_verts, o, d, t_max, cfg, any_hit: bool):
-    n = o.shape[0]
-    stack_depth = cfg.stack_depth
-    chunk_lanes = cfg.leaf_chunk_lanes
-    lane_size = kd.lane_size
-
-    inv_d = 1.0 / d
-    root_hit, tmin0, tmax0 = slab_test(kd.bounds_min, kd.bounds_max, o, inv_d, t_max)
-    # kdtree.cpp:274 — also reject when tmin > clippingDistance
-    active0 = root_hit & ~(tmin0 > t_max)
-
-    state = dict(
-        active=active0,
-        node=jnp.zeros((n,), jnp.int32),
-        tmin=tmin0,
-        tmax=tmax0,
-        sp=jnp.zeros((n,), jnp.int32),
-        stack_node=jnp.zeros((n, stack_depth), jnp.int32),
-        stack_tmin=jnp.zeros((n, stack_depth), jnp.float32),
-        stack_tmax=jnp.zeros((n, stack_depth), jnp.float32),
-        cursor=jnp.zeros((n,), jnp.int32),
-        t_best=t_max.astype(jnp.float32),
-        prim_best=jnp.full((n,), -1, jnp.int32),
-        found=jnp.zeros((n,), bool),
-    )
-
-    rows = jnp.arange(n)
-
-    def cond(s):
-        return jnp.any(s["active"])
+def _make_interior_step(kd, o, d, inv_d, t_max, cfg, rows):
+    """Factory for the per-iteration interior-node stepper shared by the
+    gather and binned traversals (kdtree.cpp:290-329)."""
 
     def interior_step(s):
-        """One reference interior-node step for every active non-leaf ray
-        (kdtree.cpp:290-329)."""
         act = s["active"]
         clip = jnp.minimum(s["t_best"], t_max)
         act = act & ~(clip < s["tmin"])  # break check (kdtree.cpp:286-289)
@@ -150,6 +121,42 @@ def _traverse(kd, tri_verts, o, d, t_max, cfg, any_hit: bool):
             sp=sp, stack_node=stack_node, stack_tmin=stack_tmin,
             stack_tmax=stack_tmax,
         )
+
+    return interior_step
+
+
+def _traverse(kd, tri_verts, o, d, t_max, cfg, any_hit: bool):
+    n = o.shape[0]
+    stack_depth = cfg.stack_depth
+    chunk_lanes = cfg.leaf_chunk_lanes
+    lane_size = kd.lane_size
+
+    inv_d = 1.0 / d
+    root_hit, tmin0, tmax0 = slab_test(kd.bounds_min, kd.bounds_max, o, inv_d, t_max)
+    # kdtree.cpp:274 — also reject when tmin > clippingDistance
+    active0 = root_hit & ~(tmin0 > t_max)
+
+    state = dict(
+        active=active0,
+        node=jnp.zeros((n,), jnp.int32),
+        tmin=tmin0,
+        tmax=tmax0,
+        sp=jnp.zeros((n,), jnp.int32),
+        stack_node=jnp.zeros((n, stack_depth), jnp.int32),
+        stack_tmin=jnp.zeros((n, stack_depth), jnp.float32),
+        stack_tmax=jnp.zeros((n, stack_depth), jnp.float32),
+        cursor=jnp.zeros((n,), jnp.int32),
+        t_best=t_max.astype(jnp.float32),
+        prim_best=jnp.full((n,), -1, jnp.int32),
+        found=jnp.zeros((n,), bool),
+    )
+
+    rows = jnp.arange(n)
+
+    def cond(s):
+        return jnp.any(s["active"])
+
+    interior_step = _make_interior_step(kd, o, d, inv_d, t_max, cfg, rows)
 
     def body(s):
         # ---------- phase A: descend all rays to their next leaf ----------
@@ -216,6 +223,120 @@ def _traverse(kd, tri_verts, o, d, t_max, cfg, any_hit: bool):
     return out["t_best"], out["prim_best"], out["found"]
 
 
+def _traverse_binned(kd, o, d, t_max, cfg, any_hit: bool):
+    """Binned wavefront traversal: descend phase identical to ``_traverse``;
+    the leaf phase sorts active rays by their current leaf block and runs
+    the Pallas binned kernel (one block DMA + one Plücker MXU matmul per
+    ray tile).  Rays whose block differs from their tile's lead retry next
+    round — per-ray block processing ORDER is unchanged, so strict-min
+    tie-break semantics match the gather traversal exactly."""
+    from .pallas.binned_kernel import binned_block_intersect
+    from .pallas.mt_kernel import on_tpu
+    from .pallas.plucker_kernel import swizzle_rays_plucker
+
+    assert kd.block_tris is not None, "binned traversal needs the blocked layout"
+    tile_r = 256
+    n0 = o.shape[0]
+    pad = (-n0) % tile_r
+    if pad:
+        fill = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], o.dtype), (pad, 1))
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d = jnp.concatenate([d, fill])
+        t_max = jnp.concatenate([t_max, jnp.full((pad,), -1.0, t_max.dtype)])
+    n = o.shape[0]
+    interpret = not on_tpu()
+
+    inv_d = 1.0 / d
+    root_hit, tmin0, tmax0 = slab_test(kd.bounds_min, kd.bounds_max, o, inv_d, t_max)
+    active0 = root_hit & ~(tmin0 > t_max)
+    ray_rows, _ = swizzle_rays_plucker(o, d, tile_r)  # (n, 16), static per call
+
+    num_blocks = kd.block_tris.shape[0]
+    block_lanes = kd.block_lanes
+    rows = jnp.arange(n)
+    big = jnp.int32(2**30)
+
+    state = dict(
+        active=active0,
+        node=jnp.zeros((n,), jnp.int32),
+        tmin=tmin0,
+        tmax=tmax0,
+        sp=jnp.zeros((n,), jnp.int32),
+        stack_node=jnp.zeros((n, cfg.stack_depth), jnp.int32),
+        stack_tmin=jnp.zeros((n, cfg.stack_depth), jnp.float32),
+        stack_tmax=jnp.zeros((n, cfg.stack_depth), jnp.float32),
+        cursor=jnp.zeros((n,), jnp.int32),
+        t_best=t_max.astype(jnp.float32),
+        prim_best=jnp.full((n,), -1, jnp.int32),
+        found=jnp.zeros((n,), bool),
+    )
+
+    interior_step = _make_interior_step(kd, o, d, inv_d, t_max, cfg, rows)
+
+    def cond(s):
+        return jnp.any(s["active"])
+
+    def body(s):
+        s = jax.lax.while_loop(
+            lambda s2: jnp.any(s2["active"] & (kd.node_flag[s2["node"]] != 3)),
+            interior_step, s)
+
+        act = s["active"]
+        clip = jnp.minimum(s["t_best"], t_max)
+        act = act & ~(clip < s["tmin"])
+        node = s["node"]
+        sp = s["sp"]
+        stack_node, stack_tmin, stack_tmax = s["stack_node"], s["stack_tmin"], s["stack_tmax"]
+
+        leaf_start = kd.node_leaf_start[node]
+        leaf_lanes = kd.node_leaf_lanes[node]
+        has_work = act & (s["cursor"] < leaf_lanes)
+        key = jnp.where(has_work, (leaf_start + s["cursor"]) // block_lanes, big)
+
+        keys_sorted, perm = jax.lax.sort_key_val(key, rows.astype(jnp.int32))
+        lead = jnp.clip(keys_sorted[::tile_r], 0, num_blocks - 1)
+        rays_sorted = ray_rows[perm]
+        t_c, idx_c, done_c = binned_block_intersect(
+            lead, rays_sorted, keys_sorted[:, None], kd.block_tris, kd.block_orig,
+            tile_r=tile_r, interpret=interpret)
+        # unsort: position of each original ray in the sorted order
+        _, inv = jax.lax.sort_key_val(perm, rows.astype(jnp.int32))
+        t_cand = t_c[inv]
+        prim_cand = idx_c[inv]
+        processed = done_c[inv] & has_work
+
+        improved = processed & (t_cand < clip)
+        t_best = jnp.where(improved, t_cand, s["t_best"])
+        prim_best = jnp.where(improved, prim_cand, s["prim_best"])
+        found = s["found"] | improved
+
+        cursor = jnp.where(processed, s["cursor"] + block_lanes, s["cursor"])
+        # rays whose leaf had no work at all (empty leaf) finish it immediately
+        leaf_done = (act & ~has_work) | (processed & (cursor >= leaf_lanes))
+        if any_hit:
+            leaf_done = leaf_done & ~improved
+            act = act & ~improved
+
+        can_pop = sp > 0
+        pop = leaf_done & can_pop
+        sp_pop = jnp.clip(sp - 1, 0, cfg.stack_depth - 1)
+        node = jnp.where(pop, stack_node[rows, sp_pop], node)
+        tmin = jnp.where(pop, stack_tmin[rows, sp_pop], s["tmin"])
+        tmax = jnp.where(pop, stack_tmax[rows, sp_pop], s["tmax"])
+        act = act & ~(leaf_done & ~can_pop)
+        sp = jnp.where(pop, sp - 1, sp)
+        cursor = jnp.where(pop, 0, cursor)
+
+        return dict(
+            active=act, node=node, tmin=tmin, tmax=tmax, sp=sp,
+            stack_node=stack_node, stack_tmin=stack_tmin, stack_tmax=stack_tmax,
+            cursor=cursor, t_best=t_best, prim_best=prim_best, found=found,
+        )
+
+    out = jax.lax.while_loop(cond, body, state)
+    return out["t_best"][:n0], out["prim_best"][:n0], out["found"][:n0]
+
+
 def kd_closest(kd, triangles, o, d, t_max, cfg):
     """Closest-hit traversal -> (t_best (N,), orig tri idx (N,), hit (N,)).
 
@@ -226,14 +347,21 @@ def kd_closest(kd, triangles, o, d, t_max, cfg):
     o_s = jax.lax.stop_gradient(o)
     d_s = jax.lax.stop_gradient(d)
     t_s = jax.lax.stop_gradient(t_max)
-    t_best, prim, found = _traverse(kd, verts, o_s, d_s, t_s, cfg, any_hit=False)
+    if getattr(cfg, "traversal_backend", "xla") == "binned":
+        t_best, prim, found = _traverse_binned(kd, o_s, d_s, t_s, cfg, any_hit=False)
+    else:
+        t_best, prim, found = _traverse(kd, verts, o_s, d_s, t_s, cfg, any_hit=False)
     return t_best, jnp.maximum(prim, 0), found & (t_best < t_s)
 
 
 def kd_any(kd, triangles, o, d, t_max, cfg):
     """Any-hit traversal (shadow rays): True where occluded before t_max."""
     verts = jax.lax.stop_gradient(triangles.verts)
-    _, _, found = _traverse(
-        kd, verts, jax.lax.stop_gradient(o), jax.lax.stop_gradient(d),
-        jax.lax.stop_gradient(t_max), cfg, any_hit=True)
+    o_s = jax.lax.stop_gradient(o)
+    d_s = jax.lax.stop_gradient(d)
+    t_s = jax.lax.stop_gradient(t_max)
+    if getattr(cfg, "traversal_backend", "xla") == "binned":
+        _, _, found = _traverse_binned(kd, o_s, d_s, t_s, cfg, any_hit=True)
+    else:
+        _, _, found = _traverse(kd, verts, o_s, d_s, t_s, cfg, any_hit=True)
     return found

@@ -99,6 +99,17 @@ def main():
     hk = np.asarray(h_k)
     print(f"  kd vs jnp: hit mismatch {int((hk ^ hb).sum())}", flush=True)
 
+    # 4. binned kd traversal (sorted + Pallas block kernel)
+    from dod_raytracer_tpu.config import Config as _C
+
+    cfg_b = _C(use_kdtree=True, traversal_backend="binned")
+    (t_bn, i_bn, h_bn), s_bn = timeit(
+        "kd binned",
+        jax.jit(lambda o, d, t: kd_closest(scene.kd, scene.triangles, o, d, t, cfg_b)),
+        o, d, t_max)
+    print(f"  -> {n / s_bn / 1e6:.2f} Mrays/s", flush=True)
+    print(f"  binned vs kd: hit mismatch {int((np.asarray(h_bn) ^ hk).sum())}", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -11,6 +11,8 @@ CHILD = """
 import os, sys, time
 sys.path.insert(0, %(root)r)
 import jax, jax.numpy as jnp, numpy as np
+x = jnp.ones((128,128)); x = (x@x).block_until_ready()  # warm the claim/compile path
+print('WARM ok', flush=True)
 from dod_raytracer_tpu.config import Config
 from dod_raytracer_tpu.mesh import load_mesh_asset, procedural_dragon
 from dod_raytracer_tpu.ops.traverse import kd_closest
@@ -26,6 +28,7 @@ cfg = Config(use_kdtree=True, MaxPrims=%(mp)d, leaf_chunk_lanes=%(chunk)d)
 b = SceneBuilder(); b.add_mesh(tv, tn); b.add_light((0,3,-3),3.0)
 scene = b.build(cfg)
 fn = jax.jit(lambda o,d,t: kd_closest(scene.kd, scene.triangles, o, d, t, cfg))
+print('BUILT scene', flush=True)
 t0=time.time(); out = fn(o,d,t_max); jax.block_until_ready(out); c1=time.time()-t0
 ts=[]
 for _ in range(3):
@@ -45,16 +48,16 @@ def main():
         configs = [tuple(int(x) for x in c.split(",")) for c in sys.argv[3].split(";")]
     for mp, chunk in configs:
         code = CHILD % {"root": ROOT, "n": n, "mesh": mesh, "mp": mp, "chunk": chunk}
-        for attempt in range(2):
+        for attempt in range(3):
             try:
                 r = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                                   text=True, timeout=420)
+                                   text=True, timeout=240)
                 out = [l for l in r.stdout.splitlines() if l.startswith("RESULT")]
                 if out:
                     print(out[0], flush=True)
                     break
-                print(f"mp={mp} chunk={chunk}: attempt {attempt} no result "
-                      f"(rc={r.returncode}) {r.stderr.strip().splitlines()[-1:] }", flush=True)
+                tail = [l for l in (r.stdout + r.stderr).splitlines() if l.strip()][-3:]
+                print(f"mp={mp} chunk={chunk}: attempt {attempt} no result (rc={r.returncode}) {tail}", flush=True)
             except subprocess.TimeoutExpired:
                 print(f"mp={mp} chunk={chunk}: attempt {attempt} TIMEOUT", flush=True)
 

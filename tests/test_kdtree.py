@@ -122,6 +122,46 @@ class TestTraversal:
         np.testing.assert_allclose(np.asarray(t_kd)[h], np.asarray(t_bf)[h])
 
 
+class TestBinnedTraversal:
+    """The binned (sort + Pallas block kernel) leaf stage must agree exactly
+    with the gather traversal — same per-ray block processing order, same
+    strict-min tie-break (SURVEY.md §7 hard part #1 wavefront regrouping)."""
+
+    @pytest.fixture(scope="class")
+    def binned_cfg(self):
+        return Config(use_kdtree=True, traversal_backend="binned")
+
+    def test_closest_matches_gather(self, teapot_scene, binned_cfg):
+        scene, cfg = teapot_scene
+        o, d = random_rays(512, seed=3)
+        t_max = jnp.full((512,), jnp.inf)
+        t_g, prim_g, hit_g = kd_closest(scene.kd, scene.triangles, o, d, t_max, cfg)
+        t_b, prim_b, hit_b = kd_closest(scene.kd, scene.triangles, o, d, t_max, binned_cfg)
+        np.testing.assert_array_equal(np.asarray(hit_b), np.asarray(hit_g))
+        h = np.asarray(hit_g)
+        # Plücker t differs from Möller–Trumbore t only by float reassociation
+        np.testing.assert_allclose(np.asarray(t_b)[h], np.asarray(t_g)[h], rtol=1e-3)
+        np.testing.assert_array_equal(np.asarray(prim_b)[h], np.asarray(prim_g)[h])
+
+    def test_any_hit_matches_gather(self, teapot_scene, binned_cfg):
+        scene, cfg = teapot_scene
+        o, d = random_rays(512, seed=5)
+        t_max = jnp.full((512,), 5.0)
+        a_g = kd_any(scene.kd, scene.triangles, o, d, t_max, cfg)
+        a_b = kd_any(scene.kd, scene.triangles, o, d, t_max, binned_cfg)
+        np.testing.assert_array_equal(np.asarray(a_b), np.asarray(a_g))
+
+    def test_unaligned_ray_count_padding(self, teapot_scene, binned_cfg):
+        scene, cfg = teapot_scene
+        o, d = random_rays(300, seed=7)  # not a multiple of tile_r=256
+        t_max = jnp.full((300,), jnp.inf)
+        t_g, _, hit_g = kd_closest(scene.kd, scene.triangles, o, d, t_max, cfg)
+        t_b, _, hit_b = kd_closest(scene.kd, scene.triangles, o, d, t_max, binned_cfg)
+        np.testing.assert_array_equal(np.asarray(hit_b), np.asarray(hit_g))
+        h = np.asarray(hit_g)
+        np.testing.assert_allclose(np.asarray(t_b)[h], np.asarray(t_g)[h], rtol=1e-3)
+
+
 def test_render_kd_equals_brute(teapot):
     from dod_raytracer_tpu import render_image
 
