@@ -57,6 +57,7 @@ def build_kdtree(tri_verts: np.ndarray, cfg) -> KDArrays:
         num_lanes=int(built.prim_nums.shape[0]),
         max_leaf_lanes=int(built.max_leaf_lanes),
         block_lanes=int(cfg.leaf_chunk_lanes),
+        max_depth=int(built.max_depth),
     )
     return refresh_kd_blocks(kd, jnp.asarray(tri_verts))
 

@@ -66,7 +66,7 @@ def _binned_kernel(lead_ref, rays_ref, keys_ref, rows_ref, orig_ref,
     den = mm(g_den)
     num = mm(g_num)
 
-    orig = orig_ref[0]  # (S,)
+    orig = orig_ref[0, 0]  # (S,)
     pos = (s0 > 0.0) & (s1 > 0.0) & (s2 > 0.0)
     neg = (s0 < 0.0) & (s1 < 0.0) & (s2 < 0.0)
     valid = (pos | neg) & (den != 0.0) & (orig >= 0)[None, :]
@@ -110,7 +110,9 @@ def binned_block_intersect(lead_blocks, rays_sorted, keys_sorted,
             pl.BlockSpec((tile_r, 16), lambda i, lead: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_r, 1), lambda i, lead: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, S, 9), lambda i, lead: (lead[i], 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S), lambda i, lead: (lead[i], 0), memory_space=pltpu.VMEM),
+            # (B, 1, S): Mosaic requires the last two block dims divisible by
+            # (8, 128) or equal to the array dims — (1, S) over (B, S) is not
+            pl.BlockSpec((1, 1, S), lambda i, lead: (lead[i], 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((tile_r, 1), lambda i, lead: (i, 0), memory_space=pltpu.VMEM),
@@ -127,5 +129,5 @@ def binned_block_intersect(lead_blocks, rays_sorted, keys_sorted,
             jax.ShapeDtypeStruct((n, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(lead_blocks, rays_sorted, keys_sorted, block_tris, block_orig)
+    )(lead_blocks, rays_sorted, keys_sorted, block_tris, block_orig[:, None, :])
     return t[:, 0], idx[:, 0], done[:, 0].astype(bool)

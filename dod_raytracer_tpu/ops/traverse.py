@@ -39,6 +39,52 @@ from .ray import INF
 from .triangle import mt_t, mt_t_edges
 
 
+def _stack_set(stack, sp, value, do):
+    """stack[sp[i], i] = value[i] where do[i] — as a one-hot masked select.
+
+    XLA lowers per-row scatter/gather-along-axis poorly on TPU (serialized
+    updates); a (D, N) elementwise select over a row-iota one-hot runs
+    entirely on the VPU instead.  Stacks are stored depth-MAJOR so the big
+    ray axis is the 128-lane minor dim — a (N, D<128) layout would pad D up
+    to 128 lanes and multiply HBM traffic ~8x.
+    """
+    rows = jax.lax.broadcasted_iota(jnp.int32, stack.shape, 0)
+    hit = (rows == sp[None, :]) & do[None, :]
+    return jnp.where(hit, value[None, :].astype(stack.dtype), stack)
+
+
+def _stack_get(stack, sp):
+    """stack[sp[i], i] — one-hot masked reduction (VPU-friendly gather)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, stack.shape, 0)
+    onehot = rows == sp[None, :]
+    if stack.dtype == jnp.int32:
+        return jnp.max(jnp.where(onehot, stack, jnp.iinfo(jnp.int32).min), axis=0)
+    return jnp.max(jnp.where(onehot, stack, -jnp.inf), axis=0)
+
+
+def _axis_get(v, axis):
+    """v[i, axis[i]] for (N, 3) v — one-hot select instead of gather."""
+    cols = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+    return jnp.sum(jnp.where(cols == axis[:, None], v, 0.0), axis=1)
+
+
+def _pack_nodes(kd):
+    """(M, 5) f32 node table [flag|split|right|leaf_start|leaf_lanes]
+    (ints bitcast) — ONE contiguous 20-byte row gather per traversal step
+    instead of five scattered single-word gathers.  Loop-invariant, so XLA
+    hoists the pack out of the traversal while_loop."""
+    bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
+    return jnp.stack([
+        bc(kd.node_flag), kd.node_split, bc(kd.node_right),
+        bc(kd.node_leaf_start), bc(kd.node_leaf_lanes)], axis=1)
+
+
+def _decode_nodes(pk):
+    """(N, 5) gathered rows -> per-field arrays."""
+    bci = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
+    return (bci(pk[:, 0]), pk[:, 1], bci(pk[:, 2]), bci(pk[:, 3]), bci(pk[:, 4]))
+
+
 def _gather_leaf_t(kd, tri_verts, o, d, leaf_start, cursor, lanes_this,
                    lane_size, chunk_lanes):
     """Candidate t over one chunk of reordered lanes per ray.
@@ -72,26 +118,28 @@ def _gather_leaf_t(kd, tri_verts, o, d, leaf_start, cursor, lanes_this,
     return jnp.where(valid, t, INF), orig
 
 
-def _make_interior_step(kd, o, d, inv_d, t_max, cfg, rows):
+def _make_interior_step(tbl, o, d, inv_d, t_max, cfg):
     """Factory for the per-iteration interior-node stepper shared by the
-    gather and binned traversals (kdtree.cpp:290-329)."""
+    gather and binned traversals (kdtree.cpp:290-329).
+
+    State carries ``pk`` — the (N, 5) packed node row of each ray's current
+    node — so a step performs exactly one table gather (for the node it
+    moves to) and the descend-loop condition reads the flag from state."""
 
     def interior_step(s):
         act = s["active"]
         clip = jnp.minimum(s["t_best"], t_max)
         act = act & ~(clip < s["tmin"])  # break check (kdtree.cpp:286-289)
         node = s["node"]
-        flag = kd.node_flag[node]
+        flag, split, right, _, _ = _decode_nodes(s["pk"])
         do_interior = act & (flag != 3)
 
         axis = jnp.clip(flag, 0, 2)
-        split = kd.node_split[node]
-        o_ax = jnp.take_along_axis(o, axis[:, None], axis=1)[:, 0]
-        d_ax = jnp.take_along_axis(d, axis[:, None], axis=1)[:, 0]
-        inv_ax = jnp.take_along_axis(inv_d, axis[:, None], axis=1)[:, 0]
+        o_ax = _axis_get(o, axis)
+        d_ax = _axis_get(d, axis)
+        inv_ax = _axis_get(inv_d, axis)
         t_plane = (split - o_ax) * inv_ax
         left_first = (o_ax < split) | ((o_ax == split) & (d_ax <= 0.0))
-        right = kd.node_right[node]
         near = jnp.where(left_first, node + 1, right)
         far = jnp.where(left_first, right, node + 1)
 
@@ -104,19 +152,18 @@ def _make_interior_step(kd, o, d, inv_d, t_max, cfg, rows):
 
         do_push = do_interior & push
         sp = s["sp"]
-        sp_c = jnp.clip(sp, 0, cfg.stack_depth - 1)
-        stack_node = s["stack_node"].at[rows, sp_c].set(
-            jnp.where(do_push, far, s["stack_node"][rows, sp_c]))
-        stack_tmin = s["stack_tmin"].at[rows, sp_c].set(
-            jnp.where(do_push, t_plane, s["stack_tmin"][rows, sp_c]))
-        stack_tmax = s["stack_tmax"].at[rows, sp_c].set(
-            jnp.where(do_push, s["tmax"], s["stack_tmax"][rows, sp_c]))
+        sp_c = jnp.clip(sp, 0, s["stack_node"].shape[0] - 1)
+        stack_node = _stack_set(s["stack_node"], sp_c, far, do_push)
+        stack_tmin = _stack_set(s["stack_tmin"], sp_c, t_plane, do_push)
+        stack_tmax = _stack_set(s["stack_tmax"], sp_c, s["tmax"], do_push)
         sp = jnp.where(do_push, sp + 1, sp)
 
+        node_new = jnp.where(do_interior, node_i, node)
         return dict(
             s,
             active=jnp.where(s["active"] & (flag != 3), act, s["active"]),
-            node=jnp.where(do_interior, node_i, node),
+            node=node_new,
+            pk=tbl[node_new],
             tmax=jnp.where(do_interior, tmax_i, s["tmax"]),
             sp=sp, stack_node=stack_node, stack_tmin=stack_tmin,
             stack_tmax=stack_tmax,
@@ -125,9 +172,24 @@ def _make_interior_step(kd, o, d, inv_d, t_max, cfg, rows):
     return interior_step
 
 
+def _descend_cond(s):
+    """Any active ray still at an interior node (flag != 3)?"""
+    flag = jax.lax.bitcast_convert_type(s["pk"][:, 0], jnp.int32)
+    return jnp.any(s["active"] & (flag != 3))
+
+
+def _stack_depth(kd, cfg):
+    """Worklist depth: one push max per tree level, so the build's depth
+    budget (+1 margin) bounds occupancy; cfg.stack_depth (=64, the
+    reference's worklist size, kdtree.cpp:279) is the upper clamp."""
+    if kd.max_depth:
+        return min(cfg.stack_depth, kd.max_depth + 1)
+    return cfg.stack_depth
+
+
 def _traverse(kd, tri_verts, o, d, t_max, cfg, any_hit: bool):
     n = o.shape[0]
-    stack_depth = cfg.stack_depth
+    stack_depth = _stack_depth(kd, cfg)
     chunk_lanes = cfg.leaf_chunk_lanes
     lane_size = kd.lane_size
 
@@ -136,35 +198,33 @@ def _traverse(kd, tri_verts, o, d, t_max, cfg, any_hit: bool):
     # kdtree.cpp:274 — also reject when tmin > clippingDistance
     active0 = root_hit & ~(tmin0 > t_max)
 
+    tbl = _pack_nodes(kd)
     state = dict(
         active=active0,
         node=jnp.zeros((n,), jnp.int32),
+        pk=jnp.broadcast_to(tbl[0], (n, 5)),
         tmin=tmin0,
         tmax=tmax0,
         sp=jnp.zeros((n,), jnp.int32),
-        stack_node=jnp.zeros((n, stack_depth), jnp.int32),
-        stack_tmin=jnp.zeros((n, stack_depth), jnp.float32),
-        stack_tmax=jnp.zeros((n, stack_depth), jnp.float32),
+        stack_node=jnp.zeros((stack_depth, n), jnp.int32),
+        stack_tmin=jnp.zeros((stack_depth, n), jnp.float32),
+        stack_tmax=jnp.zeros((stack_depth, n), jnp.float32),
         cursor=jnp.zeros((n,), jnp.int32),
         t_best=t_max.astype(jnp.float32),
         prim_best=jnp.full((n,), -1, jnp.int32),
         found=jnp.zeros((n,), bool),
     )
 
-    rows = jnp.arange(n)
-
     def cond(s):
         return jnp.any(s["active"])
 
-    interior_step = _make_interior_step(kd, o, d, inv_d, t_max, cfg, rows)
+    interior_step = _make_interior_step(tbl, o, d, inv_d, t_max, cfg)
 
     def body(s):
         # ---------- phase A: descend all rays to their next leaf ----------
         # (node stepping only — no triangle gathers are issued until every
         # active ray sits at a leaf, so HBM traffic is leaf-work only)
-        s = jax.lax.while_loop(
-            lambda s2: jnp.any(s2["active"] & (kd.node_flag[s2["node"]] != 3)),
-            interior_step, s)
+        s = jax.lax.while_loop(_descend_cond, interior_step, s)
 
         act = s["active"]
         clip = jnp.minimum(s["t_best"], t_max)
@@ -175,8 +235,7 @@ def _traverse(kd, tri_verts, o, d, t_max, cfg, any_hit: bool):
         stack_node, stack_tmin, stack_tmax = s["stack_node"], s["stack_tmin"], s["stack_tmax"]
 
         # ---------- phase B: leaf chunk (kdtree.cpp:331-358) ----------
-        leaf_start = kd.node_leaf_start[node]
-        leaf_lanes = kd.node_leaf_lanes[node]
+        _, _, _, leaf_start, leaf_lanes = _decode_nodes(s["pk"])
         lanes_this = jnp.clip(leaf_lanes - s["cursor"], 0, chunk_lanes)
         t_chunk, orig = _gather_leaf_t(
             kd, tri_verts, o, d, leaf_start, s["cursor"], lanes_this,
@@ -200,10 +259,10 @@ def _traverse(kd, tri_verts, o, d, t_max, cfg, any_hit: bool):
         # pop worklist or finish (kdtree.cpp:347-357)
         can_pop = sp > 0
         pop = leaf_done & can_pop
-        sp_pop = jnp.clip(sp - 1, 0, cfg.stack_depth - 1)
-        node_p = stack_node[rows, sp_pop]
-        tmin_p = stack_tmin[rows, sp_pop]
-        tmax_p = stack_tmax[rows, sp_pop]
+        sp_pop = jnp.clip(sp - 1, 0, stack_node.shape[0] - 1)
+        node_p = _stack_get(stack_node, sp_pop)
+        tmin_p = _stack_get(stack_tmin, sp_pop)
+        tmax_p = _stack_get(stack_tmax, sp_pop)
         act = act & ~(leaf_done & ~can_pop)
 
         # ---------- merge ----------
@@ -214,7 +273,7 @@ def _traverse(kd, tri_verts, o, d, t_max, cfg, any_hit: bool):
         cursor = jnp.where(pop, 0, cursor)
 
         return dict(
-            active=act, node=node, tmin=tmin, tmax=tmax, sp=sp,
+            active=act, node=node, pk=tbl[node], tmin=tmin, tmax=tmax, sp=sp,
             stack_node=stack_node, stack_tmin=stack_tmin, stack_tmax=stack_tmax,
             cursor=cursor, t_best=t_best, prim_best=prim_best, found=found,
         )
@@ -256,30 +315,30 @@ def _traverse_binned(kd, o, d, t_max, cfg, any_hit: bool):
     rows = jnp.arange(n)
     big = jnp.int32(2**30)
 
+    tbl = _pack_nodes(kd)
     state = dict(
         active=active0,
         node=jnp.zeros((n,), jnp.int32),
+        pk=jnp.broadcast_to(tbl[0], (n, 5)),
         tmin=tmin0,
         tmax=tmax0,
         sp=jnp.zeros((n,), jnp.int32),
-        stack_node=jnp.zeros((n, cfg.stack_depth), jnp.int32),
-        stack_tmin=jnp.zeros((n, cfg.stack_depth), jnp.float32),
-        stack_tmax=jnp.zeros((n, cfg.stack_depth), jnp.float32),
+        stack_node=jnp.zeros((_stack_depth(kd, cfg), n), jnp.int32),
+        stack_tmin=jnp.zeros((_stack_depth(kd, cfg), n), jnp.float32),
+        stack_tmax=jnp.zeros((_stack_depth(kd, cfg), n), jnp.float32),
         cursor=jnp.zeros((n,), jnp.int32),
         t_best=t_max.astype(jnp.float32),
         prim_best=jnp.full((n,), -1, jnp.int32),
         found=jnp.zeros((n,), bool),
     )
 
-    interior_step = _make_interior_step(kd, o, d, inv_d, t_max, cfg, rows)
+    interior_step = _make_interior_step(tbl, o, d, inv_d, t_max, cfg)
 
     def cond(s):
         return jnp.any(s["active"])
 
     def body(s):
-        s = jax.lax.while_loop(
-            lambda s2: jnp.any(s2["active"] & (kd.node_flag[s2["node"]] != 3)),
-            interior_step, s)
+        s = jax.lax.while_loop(_descend_cond, interior_step, s)
 
         act = s["active"]
         clip = jnp.minimum(s["t_best"], t_max)
@@ -288,8 +347,7 @@ def _traverse_binned(kd, o, d, t_max, cfg, any_hit: bool):
         sp = s["sp"]
         stack_node, stack_tmin, stack_tmax = s["stack_node"], s["stack_tmin"], s["stack_tmax"]
 
-        leaf_start = kd.node_leaf_start[node]
-        leaf_lanes = kd.node_leaf_lanes[node]
+        _, _, _, leaf_start, leaf_lanes = _decode_nodes(s["pk"])
         has_work = act & (s["cursor"] < leaf_lanes)
         key = jnp.where(has_work, (leaf_start + s["cursor"]) // block_lanes, big)
 
@@ -319,16 +377,16 @@ def _traverse_binned(kd, o, d, t_max, cfg, any_hit: bool):
 
         can_pop = sp > 0
         pop = leaf_done & can_pop
-        sp_pop = jnp.clip(sp - 1, 0, cfg.stack_depth - 1)
-        node = jnp.where(pop, stack_node[rows, sp_pop], node)
-        tmin = jnp.where(pop, stack_tmin[rows, sp_pop], s["tmin"])
-        tmax = jnp.where(pop, stack_tmax[rows, sp_pop], s["tmax"])
+        sp_pop = jnp.clip(sp - 1, 0, stack_node.shape[0] - 1)
+        node = jnp.where(pop, _stack_get(stack_node, sp_pop), node)
+        tmin = jnp.where(pop, _stack_get(stack_tmin, sp_pop), s["tmin"])
+        tmax = jnp.where(pop, _stack_get(stack_tmax, sp_pop), s["tmax"])
         act = act & ~(leaf_done & ~can_pop)
         sp = jnp.where(pop, sp - 1, sp)
         cursor = jnp.where(pop, 0, cursor)
 
         return dict(
-            active=act, node=node, tmin=tmin, tmax=tmax, sp=sp,
+            active=act, node=node, pk=tbl[node], tmin=tmin, tmax=tmax, sp=sp,
             stack_node=stack_node, stack_tmin=stack_tmin, stack_tmax=stack_tmax,
             cursor=cursor, t_best=t_best, prim_best=prim_best, found=found,
         )

@@ -108,6 +108,9 @@ class KDArrays:
     num_lanes: int = struct.field(pytree_node=False, default=0)  # reordered lane count K
     max_leaf_lanes: int = struct.field(pytree_node=False, default=0)
     block_lanes: int = struct.field(pytree_node=False, default=0)
+    # build depth budget (kdtree.cpp:72) — bounds traversal stack occupancy,
+    # letting the runtime shrink the (stack_depth, N) worklist arrays
+    max_depth: int = struct.field(pytree_node=False, default=0)
 
 
 @struct.dataclass

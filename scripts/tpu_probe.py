@@ -1,7 +1,10 @@
 """TPU microbenchmark probe: time the candidate triangle-intersection
 paths in isolation to pick the production configuration.
 
-Run: python scripts/tpu_probe.py [N_rays] [mesh]
+Run: python scripts/tpu_probe.py [N_rays] [mesh] [sections]
+  sections: comma-set of {pallas,plucker,jnp,kd,binned} (default: all).
+  Pallas compiles go through the slow remote-compile path — run the XLA
+  sections (jnp,kd) separately when the tunnel is congested.
 """
 
 import os
@@ -38,6 +41,8 @@ def timeit(name, fn, *args, repeats=3):
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
     mesh_name = sys.argv[2] if len(sys.argv) > 2 else "teapot"
+    sections = set((sys.argv[3] if len(sys.argv) > 3
+                    else "pallas,plucker,jnp,kd,binned").split(","))
     print("devices:", jax.devices(), flush=True)
 
     if mesh_name == "dragon":
@@ -59,56 +64,65 @@ def main():
     o, d = jnp.asarray(o), jnp.asarray(d.astype(np.float32))
     t_max = jnp.full((n,), jnp.inf)
 
-    # 1. Pallas brute force
-    from dod_raytracer_tpu.ops.pallas.mt_kernel import mt_closest_pallas, swizzle_tris
+    # 0. dispatch floor: a trivial jitted op on the same data — measures the
+    # tunnel/dispatch round trip that inflates every small measurement below
+    timeit("dispatch floor", jax.jit(lambda o, d: (o + d).sum()), o, d)
 
-    soa = swizzle_tris(jnp.asarray(tv))
-    (t_p, i_p), s_pallas = timeit(
-        "pallas brute", jax.jit(lambda o, d: mt_closest_pallas(soa, o, d)), o, d)
-    print(f"  -> {n / s_pallas / 1e6:.2f} Mrays/s, "
-          f"{n * tv.shape[0] / s_pallas / 1e12:.2f} Tpair/s", flush=True)
+    hb = hk = None
 
-    # 1b. Plücker MXU brute force
-    from dod_raytracer_tpu.ops.pallas.plucker_kernel import plucker_closest, plucker_pack
+    if "jnp" in sections:
+        from dod_raytracer_tpu.ops.triangle import brute_force_closest
 
-    g = plucker_pack(jnp.asarray(tv))
-    (t_pk, i_pk), s_pk = timeit(
-        "plucker MXU brute", jax.jit(lambda o, d: plucker_closest(g, o, d)), o, d)
-    print(f"  -> {n / s_pk / 1e6:.2f} Mrays/s, "
-          f"{n * tv.shape[0] / s_pk / 1e9:.1f} Gpair/s", flush=True)
+        (t_b, i_b), s_jnp = timeit(
+            "jnp brute", jax.jit(lambda o, d: brute_force_closest(scene.triangles.verts, o, d)), o, d)
+        print(f"  -> {n / s_jnp / 1e6:.2f} Mrays/s", flush=True)
+        hb = np.isfinite(np.asarray(t_b))
 
-    # 2. jnp brute force (chunked scan)
-    from dod_raytracer_tpu.ops.triangle import brute_force_closest
+    if "kd" in sections:
+        from dod_raytracer_tpu.ops.traverse import kd_closest
 
-    (t_b, i_b), s_jnp = timeit(
-        "jnp brute", jax.jit(lambda o, d: brute_force_closest(scene.triangles.verts, o, d)), o, d)
-    print(f"  -> {n / s_jnp / 1e6:.2f} Mrays/s", flush=True)
+        (t_k, i_k, h_k), s_kd = timeit(
+            "kd traversal",
+            jax.jit(lambda o, d, t: kd_closest(scene.kd, scene.triangles, o, d, t, cfg)),
+            o, d, t_max)
+        print(f"  -> {n / s_kd / 1e6:.2f} Mrays/s", flush=True)
+        hk = np.asarray(h_k)
+        if hb is not None:
+            print(f"  kd vs jnp: hit mismatch {int((hk ^ hb).sum())}", flush=True)
 
-    # cross-check
-    hp, hb = np.isfinite(np.asarray(t_p)), np.isfinite(np.asarray(t_b))
-    print(f"  pallas vs jnp: hit mismatch {int((hp ^ hb).sum())}", flush=True)
+    if "pallas" in sections:
+        from dod_raytracer_tpu.ops.pallas.mt_kernel import mt_closest_pallas, swizzle_tris
 
-    # 3. kd traversal
-    from dod_raytracer_tpu.ops.traverse import kd_closest
+        soa = swizzle_tris(jnp.asarray(tv))
+        (t_p, i_p), s_pallas = timeit(
+            "pallas brute", jax.jit(lambda o, d: mt_closest_pallas(soa, o, d)), o, d)
+        print(f"  -> {n / s_pallas / 1e6:.2f} Mrays/s, "
+              f"{n * tv.shape[0] / s_pallas / 1e12:.2f} Tpair/s", flush=True)
+        if hb is not None:
+            hp = np.isfinite(np.asarray(t_p))
+            print(f"  pallas vs jnp: hit mismatch {int((hp ^ hb).sum())}", flush=True)
 
-    (t_k, i_k, h_k), s_kd = timeit(
-        "kd traversal",
-        jax.jit(lambda o, d, t: kd_closest(scene.kd, scene.triangles, o, d, t, cfg)),
-        o, d, t_max)
-    print(f"  -> {n / s_kd / 1e6:.2f} Mrays/s", flush=True)
-    hk = np.asarray(h_k)
-    print(f"  kd vs jnp: hit mismatch {int((hk ^ hb).sum())}", flush=True)
+    if "plucker" in sections:
+        from dod_raytracer_tpu.ops.pallas.plucker_kernel import plucker_closest, plucker_pack
 
-    # 4. binned kd traversal (sorted + Pallas block kernel)
-    from dod_raytracer_tpu.config import Config as _C
+        g = plucker_pack(jnp.asarray(tv))
+        (t_pk, i_pk), s_pk = timeit(
+            "plucker MXU brute", jax.jit(lambda o, d: plucker_closest(g, o, d)), o, d)
+        print(f"  -> {n / s_pk / 1e6:.2f} Mrays/s, "
+              f"{n * tv.shape[0] / s_pk / 1e9:.1f} Gpair/s", flush=True)
 
-    cfg_b = _C(use_kdtree=True, traversal_backend="binned")
-    (t_bn, i_bn, h_bn), s_bn = timeit(
-        "kd binned",
-        jax.jit(lambda o, d, t: kd_closest(scene.kd, scene.triangles, o, d, t, cfg_b)),
-        o, d, t_max)
-    print(f"  -> {n / s_bn / 1e6:.2f} Mrays/s", flush=True)
-    print(f"  binned vs kd: hit mismatch {int((np.asarray(h_bn) ^ hk).sum())}", flush=True)
+    if "binned" in sections:
+        from dod_raytracer_tpu.config import Config as _C
+        from dod_raytracer_tpu.ops.traverse import kd_closest as _kdc
+
+        cfg_b = _C(use_kdtree=True, traversal_backend="binned")
+        (t_bn, i_bn, h_bn), s_bn = timeit(
+            "kd binned",
+            jax.jit(lambda o, d, t: _kdc(scene.kd, scene.triangles, o, d, t, cfg_b)),
+            o, d, t_max)
+        print(f"  -> {n / s_bn / 1e6:.2f} Mrays/s", flush=True)
+        if hk is not None:
+            print(f"  binned vs kd: hit mismatch {int((np.asarray(h_bn) ^ hk).sum())}", flush=True)
 
 
 if __name__ == "__main__":
