@@ -69,13 +69,15 @@ def refresh_kd_blocks(kd: KDArrays, tri_verts) -> KDArrays:
     the gather itself is differentiable-free (traversal is stop-grad)."""
     import jax
 
+    from ..ops.pallas.binned_kernel import pack_block_g
+
     if kd.block_orig is None:
         return kd
     orig = kd.block_orig  # (B, S)
     verts = jax.lax.stop_gradient(tri_verts)[jnp.maximum(orig, 0)]  # (B, S, 3, 3)
+    verts = jnp.where((orig >= 0)[..., None, None], verts, 0.0)
     A = verts[..., 0, :]
     e1 = verts[..., 1, :] - A
     e2 = verts[..., 2, :] - A
     rows = jnp.concatenate([A, e1, e2], axis=-1)  # (B, S, 9)
-    rows = jnp.where((orig >= 0)[..., None], rows, 0.0)
-    return kd.replace(block_tris=rows)
+    return kd.replace(block_tris=rows, block_g=pack_block_g(verts))

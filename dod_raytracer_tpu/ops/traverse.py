@@ -355,7 +355,7 @@ def _traverse_binned(kd, o, d, t_max, cfg, any_hit: bool):
         lead = jnp.clip(keys_sorted[::tile_r], 0, num_blocks - 1)
         rays_sorted = ray_rows[perm]
         t_c, idx_c, done_c = binned_block_intersect(
-            lead, rays_sorted, keys_sorted[:, None], kd.block_tris, kd.block_orig,
+            lead, rays_sorted, keys_sorted[:, None], kd.block_g, kd.block_orig,
             tile_r=tile_r, interpret=interpret)
         # unsort: position of each original ray in the sorted order
         _, inv = jax.lax.sort_key_val(perm, rows.astype(jnp.int32))

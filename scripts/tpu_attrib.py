@@ -152,6 +152,52 @@ def main():
         s = timeit(f"pk gather x{INNER + OUTER}", jax.jit(pkloop), node0)
         print(f"  -> {s / (INNER + OUTER) * 1e6:.0f}us/step", flush=True)
 
+    if "sort" in sections:
+        # per-round sort cost of the binned leaf stage: key sort + payload
+        # permute + unsort-index build (27 rounds like the teapot probe)
+        def sortloop(keys0, payload):
+            rows = jnp.arange(n, dtype=jnp.int32)
+            def step(i, carry):
+                keys, acc = carry
+                ks, perm = jax.lax.sort_key_val(keys, rows)
+                pay = payload[perm]               # (N, 16) permute gather
+                _, inv = jax.lax.sort_key_val(perm, rows)
+                acc = acc + pay[:, 0][inv]
+                keys = (keys * 1103515245 + 12345) % 997
+                return keys, acc
+            _, acc = jax.lax.fori_loop(0, OUTER, step, (keys0, jnp.zeros((n,))))
+            return acc
+
+        keys0 = jnp.asarray(rng.integers(0, 997, n).astype(np.int32))
+        payload = jnp.asarray(rng.random((n, 16), np.float32))
+        s = timeit(f"sort+permute x{OUTER}", jax.jit(sortloop), keys0, payload)
+        print(f"  -> {s / OUTER * 1e6:.0f}us/round", flush=True)
+
+    if "onehot" in sections:
+        # node-table lookup as an MXU one-hot matmul instead of a gather:
+        # out = onehot(node) @ tbl — candidate replacement for the 220us
+        # native row gather (valid while M stays matmul-sized)
+        tbl = T._pack_nodes(kd)
+        Mpad = ((M + 127) // 128) * 128
+        tblp = jnp.pad(tbl, ((0, Mpad - M), (0, 3)))  # (Mpad, 8)
+
+        def onehot_loop(node0):
+            ids = jnp.arange(Mpad, dtype=jnp.int32)
+            def step(i, carry):
+                node, acc = carry
+                oh = (node[:, None] == ids[None, :]).astype(jnp.bfloat16)  # (N, Mpad)
+                pk = jnp.dot(oh, tblp.astype(jnp.bfloat16),
+                             preferred_element_type=jnp.float32)  # (N, 8)
+                acc = acc + pk[:, 1]
+                node = (node + 1) % M
+                return node, acc
+            _, acc = jax.lax.fori_loop(0, INNER, step, (node0, jnp.zeros((n,))))
+            return acc
+
+        node0 = jnp.asarray(rng.integers(0, M, n).astype(np.int32))
+        s = timeit(f"onehot-matmul gather x{INNER}", jax.jit(onehot_loop), node0)
+        print(f"  -> {s / INNER * 1e6:.0f}us/step", flush=True)
+
     if "axis" in sections:
         # the three one-hot axis selects per interior step
         def axloop(axis0):
