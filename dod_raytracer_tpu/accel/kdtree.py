@@ -69,7 +69,7 @@ def refresh_kd_blocks(kd: KDArrays, tri_verts) -> KDArrays:
     the gather itself is differentiable-free (traversal is stop-grad)."""
     import jax
 
-    from ..ops.pallas.binned_kernel import pack_block_g
+    from ..ops.pallas.block_loop_kernel import pack_block_g
 
     if kd.block_orig is None:
         return kd

@@ -284,12 +284,13 @@ def _traverse(kd, tri_verts, o, d, t_max, cfg, any_hit: bool):
 
 def _traverse_binned(kd, o, d, t_max, cfg, any_hit: bool):
     """Binned wavefront traversal: descend phase identical to ``_traverse``;
-    the leaf phase sorts active rays by their current leaf block and runs
-    the Pallas binned kernel (one block DMA + one Plücker MXU matmul per
-    ray tile).  Rays whose block differs from their tile's lead retry next
-    round — per-ray block processing ORDER is unchanged, so strict-min
-    tie-break semantics match the gather traversal exactly."""
-    from .pallas.binned_kernel import binned_block_intersect
+    the leaf phase feeds each ray's current block id to the sort-free
+    Pallas block-loop kernel (block_loop_kernel.py) — each fixed ray tile
+    loops over its distinct blocks smallest-first with one VMEM DMA + one
+    Plücker MXU matmul per block.  Every ray with work processes exactly
+    its current block per round, so per-ray block processing ORDER — and
+    hence strict-min tie-break semantics — match the gather traversal."""
+    from .pallas.block_loop_kernel import block_loop_intersect
     from .pallas.mt_kernel import on_tpu
     from .pallas.plucker_kernel import swizzle_rays_plucker
 
@@ -310,9 +311,7 @@ def _traverse_binned(kd, o, d, t_max, cfg, any_hit: bool):
     active0 = root_hit & ~(tmin0 > t_max)
     ray_rows, _ = swizzle_rays_plucker(o, d, tile_r)  # (n, 16), static per call
 
-    num_blocks = kd.block_tris.shape[0]
     block_lanes = kd.block_lanes
-    rows = jnp.arange(n)
     big = jnp.int32(2**30)
 
     tbl = _pack_nodes(kd)
@@ -351,26 +350,17 @@ def _traverse_binned(kd, o, d, t_max, cfg, any_hit: bool):
         has_work = act & (s["cursor"] < leaf_lanes)
         key = jnp.where(has_work, (leaf_start + s["cursor"]) // block_lanes, big)
 
-        keys_sorted, perm = jax.lax.sort_key_val(key, rows.astype(jnp.int32))
-        lead = jnp.clip(keys_sorted[::tile_r], 0, num_blocks - 1)
-        rays_sorted = ray_rows[perm]
-        t_c, idx_c, done_c = binned_block_intersect(
-            lead, rays_sorted, keys_sorted[:, None], kd.block_g, kd.block_orig,
+        t_cand, prim_cand = block_loop_intersect(
+            ray_rows, key[:, None], kd.block_g, kd.block_orig,
             tile_r=tile_r, interpret=interpret)
-        # unsort: position of each original ray in the sorted order
-        _, inv = jax.lax.sort_key_val(perm, rows.astype(jnp.int32))
-        t_cand = t_c[inv]
-        prim_cand = idx_c[inv]
-        processed = done_c[inv] & has_work
 
-        improved = processed & (t_cand < clip)
+        improved = has_work & (t_cand < clip)
         t_best = jnp.where(improved, t_cand, s["t_best"])
         prim_best = jnp.where(improved, prim_cand, s["prim_best"])
         found = s["found"] | improved
 
-        cursor = jnp.where(processed, s["cursor"] + block_lanes, s["cursor"])
-        # rays whose leaf had no work at all (empty leaf) finish it immediately
-        leaf_done = (act & ~has_work) | (processed & (cursor >= leaf_lanes))
+        cursor = jnp.where(has_work, s["cursor"] + block_lanes, s["cursor"])
+        leaf_done = act & (cursor >= leaf_lanes)
         if any_hit:
             leaf_done = leaf_done & ~improved
             act = act & ~improved

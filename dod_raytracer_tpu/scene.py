@@ -104,8 +104,8 @@ class KDArrays:
     # rows so a leaf chunk fetch is ONE contiguous row gather per ray.
     block_orig: Optional[jnp.ndarray] = None  # (B, block_lanes*lane) i32
     block_tris: Optional[jnp.ndarray] = None  # (B, block_lanes*lane, 9) f32
-    # per-block Plücker matrices for the binned Pallas leaf kernel
-    block_g: Optional[jnp.ndarray] = None  # (B, 5, 10, block_lanes*lane) f32
+    # per-block Plücker matrices for the block-loop Pallas leaf kernel
+    block_g: Optional[jnp.ndarray] = None  # (B, 16, 5*Spad) f32
     lane_size: int = struct.field(pytree_node=False, default=8)
     num_lanes: int = struct.field(pytree_node=False, default=0)  # reordered lane count K
     max_leaf_lanes: int = struct.field(pytree_node=False, default=0)

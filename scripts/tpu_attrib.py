@@ -152,6 +152,26 @@ def main():
         s = timeit(f"pk gather x{INNER + OUTER}", jax.jit(pkloop), node0)
         print(f"  -> {s / (INNER + OUTER) * 1e6:.0f}us/step", flush=True)
 
+    if "gwidth" in sections:
+        # gather cost vs row width: if per-row overhead dominates (flat in
+        # width), packing k tree levels per row gives ~k fewer gathers
+        for W in (1, 5, 16, 40):
+            tblw = jnp.asarray(rng.random((max(M, 8), W), np.float32))
+
+            def gloop(node0, tblw=tblw):
+                def step(i, carry):
+                    node, acc = carry
+                    row = tblw[node]
+                    acc = acc + row[:, 0]
+                    node = (node + 7) % M
+                    return node, acc
+                _, acc = jax.lax.fori_loop(0, INNER, step, (node0, jnp.zeros((n,))))
+                return acc
+
+            node0 = jnp.asarray(rng.integers(0, M, n).astype(np.int32))
+            s = timeit(f"gather (N,{W}) x{INNER}", jax.jit(gloop), node0)
+            print(f"  -> {s / INNER * 1e6:.0f}us/step", flush=True)
+
     if "sort" in sections:
         # per-round sort cost of the binned leaf stage: key sort + payload
         # permute + unsort-index build (27 rounds like the teapot probe)

@@ -61,10 +61,18 @@ def main():
           f"{scene.kd.node_flag.shape[0]}, reordered lanes {scene.kd.num_lanes}", flush=True)
 
     rng = np.random.default_rng(0)
-    o = ((rng.random((n, 3)) * 2 - 1) * 4).astype(np.float32)
-    d = rng.standard_normal((n, 3)).astype(np.float32)
-    d /= np.linalg.norm(d, axis=1, keepdims=True)
-    o, d = jnp.asarray(o), jnp.asarray(d.astype(np.float32))
+    if "camera" in sections:
+        # coherent wavefront: the first n primary rays of the 1080p frame
+        from dod_raytracer_tpu.camera import primary_rays
+
+        o_all, d_all, _ = primary_rays(1920, 1080)
+        o, d = o_all[:n], d_all[:n]
+        print("rays: camera (coherent)", flush=True)
+    else:
+        o = jnp.asarray(((rng.random((n, 3)) * 2 - 1) * 4).astype(np.float32))
+        d = rng.standard_normal((n, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        d = jnp.asarray(d)
     t_max = jnp.full((n,), jnp.inf)
 
     # 0. dispatch floor: a trivial jitted op on the same data — measures the
