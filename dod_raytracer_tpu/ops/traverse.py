@@ -385,6 +385,54 @@ def _traverse_binned(kd, o, d, t_max, cfg, any_hit: bool):
     return out["t_best"][:n0], out["prim_best"][:n0], out["found"][:n0]
 
 
+def _traverse_mega(kd, o, d, t_max, cfg, any_hit: bool):
+    """Whole-traversal Pallas megakernel (traverse_kernel.py) — valid when
+    the node table fits a ray tile (M <= TILE); caller guards that."""
+    from .pallas.mt_kernel import on_tpu
+    from .pallas.plucker_kernel import swizzle_rays_plucker
+    from .pallas.traverse_kernel import TILE, mega_traverse, pack_nodes_mega
+
+    n0 = o.shape[0]
+    pad = (-n0) % TILE
+    if pad:
+        fill = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], o.dtype), (pad, 1))
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d = jnp.concatenate([d, fill])
+        t_max = jnp.concatenate([t_max, jnp.full((pad,), -1.0, t_max.dtype)])
+    n = o.shape[0]
+
+    inv_d = 1.0 / d
+    root_hit, tmin0, tmax0 = slab_test(kd.bounds_min, kd.bounds_max, o, inv_d, t_max)
+    active0 = root_hit & ~(tmin0 > t_max)
+
+    pad4 = lambda v: jnp.concatenate([v, jnp.zeros((n, 1), v.dtype)], axis=1)
+    rays, _ = swizzle_rays_plucker(o, d, TILE)
+    tbl = pack_nodes_mega(kd, TILE)
+    spad = kd.block_g.shape[2] // 5
+    orig = kd.block_orig
+    if orig.shape[1] != spad:
+        orig = jnp.pad(orig, ((0, 0), (0, spad - orig.shape[1])), constant_values=-1)
+
+    t_best, prim, found = mega_traverse(
+        tbl, pad4(o), pad4(d), pad4(inv_d), tmin0[:, None],
+        jnp.stack([tmax0, t_max.astype(jnp.float32)], axis=1),
+        active0[:, None].astype(jnp.int32), rays,
+        kd.block_g, orig[:, None, :],
+        block_lanes=kd.block_lanes, stack_depth=_stack_depth(kd, cfg),
+        any_hit=any_hit, interpret=not on_tpu())
+    return t_best[:n0, 0], prim[:n0, 0], found[:n0, 0].astype(bool)
+
+
+def _backend(kd, cfg):
+    be = getattr(cfg, "traversal_backend", "xla")
+    if be == "mega":
+        from .pallas.traverse_kernel import TILE
+
+        if kd.node_flag.shape[0] > TILE or kd.block_g is None:
+            return "xla"  # tree too big for the resident-table kernel
+    return be
+
+
 def kd_closest(kd, triangles, o, d, t_max, cfg):
     """Closest-hit traversal -> (t_best (N,), orig tri idx (N,), hit (N,)).
 
@@ -395,8 +443,11 @@ def kd_closest(kd, triangles, o, d, t_max, cfg):
     o_s = jax.lax.stop_gradient(o)
     d_s = jax.lax.stop_gradient(d)
     t_s = jax.lax.stop_gradient(t_max)
-    if getattr(cfg, "traversal_backend", "xla") == "binned":
+    be = _backend(kd, cfg)
+    if be == "binned":
         t_best, prim, found = _traverse_binned(kd, o_s, d_s, t_s, cfg, any_hit=False)
+    elif be == "mega":
+        t_best, prim, found = _traverse_mega(kd, o_s, d_s, t_s, cfg, any_hit=False)
     else:
         t_best, prim, found = _traverse(kd, verts, o_s, d_s, t_s, cfg, any_hit=False)
     return t_best, jnp.maximum(prim, 0), found & (t_best < t_s)
@@ -408,8 +459,11 @@ def kd_any(kd, triangles, o, d, t_max, cfg):
     o_s = jax.lax.stop_gradient(o)
     d_s = jax.lax.stop_gradient(d)
     t_s = jax.lax.stop_gradient(t_max)
-    if getattr(cfg, "traversal_backend", "xla") == "binned":
+    be = _backend(kd, cfg)
+    if be == "binned":
         _, _, found = _traverse_binned(kd, o_s, d_s, t_s, cfg, any_hit=True)
+    elif be == "mega":
+        _, _, found = _traverse_mega(kd, o_s, d_s, t_s, cfg, any_hit=True)
     else:
         _, _, found = _traverse(kd, verts, o_s, d_s, t_s, cfg, any_hit=True)
     return found

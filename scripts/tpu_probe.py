@@ -122,6 +122,19 @@ def main():
         print(f"  -> {n / s_pk / 1e6:.2f} Mrays/s, "
               f"{n * tv.shape[0] / s_pk / 1e9:.1f} Gpair/s", flush=True)
 
+    if "mega" in sections:
+        from dod_raytracer_tpu.config import Config as _C
+        from dod_raytracer_tpu.ops.traverse import kd_closest as _kdc2
+
+        cfg_m = _C(use_kdtree=True, traversal_backend="mega")
+        (t_mg, i_mg, h_mg), s_mg = timeit(
+            "kd mega",
+            jax.jit(lambda o, d, t: _kdc2(scene.kd, scene.triangles, o, d, t, cfg_m)),
+            o, d, t_max)
+        print(f"  -> {n / s_mg / 1e6:.2f} Mrays/s", flush=True)
+        if hk is not None:
+            print(f"  mega vs kd: hit mismatch {int((np.asarray(h_mg) ^ hk).sum())}", flush=True)
+
     if "binned" in sections:
         from dod_raytracer_tpu.config import Config as _C
         from dod_raytracer_tpu.ops.traverse import kd_closest as _kdc

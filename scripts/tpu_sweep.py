@@ -20,11 +20,17 @@ from dod_raytracer_tpu.scene import SceneBuilder
 n = %(n)d
 tv, tn = (procedural_dragon() if %(mesh)r == 'dragon' else load_mesh_asset(%(mesh)r))
 rng = np.random.default_rng(0)
-o = ((rng.random((n,3))*2-1)*4).astype(np.float32)
-d = rng.standard_normal((n,3)).astype(np.float32); d /= np.linalg.norm(d,axis=1,keepdims=True)
-o, d = jnp.asarray(o), jnp.asarray(d.astype(np.float32))
+if %(camera)r:
+    from dod_raytracer_tpu.camera import primary_rays
+    o_all, d_all, _ = primary_rays(1920, 1080)
+    o, d = o_all[:n], d_all[:n]
+else:
+    o = jnp.asarray(((rng.random((n,3))*2-1)*4).astype(np.float32))
+    d = rng.standard_normal((n,3)).astype(np.float32); d /= np.linalg.norm(d,axis=1,keepdims=True)
+    d = jnp.asarray(d)
 t_max = jnp.full((n,), jnp.inf)
-cfg = Config(use_kdtree=True, MaxPrims=%(mp)d, leaf_chunk_lanes=%(chunk)d)
+cfg = Config(use_kdtree=True, MaxPrims=%(mp)d, leaf_chunk_lanes=%(chunk)d,
+             traversal_backend=%(backend)r)
 b = SceneBuilder(); b.add_mesh(tv, tn); b.add_light((0,3,-3),3.0)
 scene = b.build(cfg)
 fn = jax.jit(lambda o,d,t: kd_closest(scene.kd, scene.triangles, o, d, t, cfg))
@@ -46,8 +52,11 @@ def main():
     configs = [(8, 8), (16, 16), (32, 32), (64, 64), (128, 128)]
     if len(sys.argv) > 3:
         configs = [tuple(int(x) for x in c.split(",")) for c in sys.argv[3].split(";")]
+    backend = sys.argv[4] if len(sys.argv) > 4 else "xla"
+    camera = len(sys.argv) > 5 and sys.argv[5] == "camera"
     for mp, chunk in configs:
-        code = CHILD % {"root": ROOT, "n": n, "mesh": mesh, "mp": mp, "chunk": chunk}
+        code = CHILD % {"root": ROOT, "n": n, "mesh": mesh, "mp": mp, "chunk": chunk,
+                        "backend": backend, "camera": camera}
         for attempt in range(3):
             try:
                 r = subprocess.run([sys.executable, "-c", code], capture_output=True,

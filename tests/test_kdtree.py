@@ -162,6 +162,55 @@ class TestBinnedTraversal:
         np.testing.assert_allclose(np.asarray(t_b)[h], np.asarray(t_g)[h], rtol=1e-3)
 
 
+class TestMegaTraversal:
+    """The whole-traversal Pallas megakernel must agree exactly with the
+    gather traversal (same walk, same strict-min tie-breaks)."""
+
+    @pytest.fixture(scope="class")
+    def mega_cfg(self):
+        return Config(use_kdtree=True, traversal_backend="mega")
+
+    def test_closest_matches_gather(self, teapot_scene, mega_cfg):
+        scene, cfg = teapot_scene
+        o, d = random_rays(512, seed=3)
+        t_max = jnp.full((512,), jnp.inf)
+        t_g, prim_g, hit_g = kd_closest(scene.kd, scene.triangles, o, d, t_max, cfg)
+        t_m, prim_m, hit_m = kd_closest(scene.kd, scene.triangles, o, d, t_max, mega_cfg)
+        np.testing.assert_array_equal(np.asarray(hit_m), np.asarray(hit_g))
+        h = np.asarray(hit_g)
+        # Plücker t differs from Möller–Trumbore t only by float reassociation
+        np.testing.assert_allclose(np.asarray(t_m)[h], np.asarray(t_g)[h], rtol=1e-3)
+        np.testing.assert_array_equal(np.asarray(prim_m)[h], np.asarray(prim_g)[h])
+
+    def test_clipped_t_max(self, teapot_scene, mega_cfg):
+        scene, cfg = teapot_scene
+        o, d = random_rays(256, seed=4)
+        t_max = jnp.full((256,), 4.0)
+        t_g, _, hit_g = kd_closest(scene.kd, scene.triangles, o, d, t_max, cfg)
+        t_m, _, hit_m = kd_closest(scene.kd, scene.triangles, o, d, t_max, mega_cfg)
+        np.testing.assert_array_equal(np.asarray(hit_m), np.asarray(hit_g))
+        h = np.asarray(hit_g)
+        np.testing.assert_allclose(np.asarray(t_m)[h], np.asarray(t_g)[h], rtol=1e-3)
+
+    def test_any_hit_matches_gather(self, teapot_scene, mega_cfg):
+        scene, cfg = teapot_scene
+        o, d = random_rays(512, seed=5)
+        t_max = jnp.full((512,), 5.0)
+        a_g = kd_any(scene.kd, scene.triangles, o, d, t_max, cfg)
+        a_m = kd_any(scene.kd, scene.triangles, o, d, t_max, mega_cfg)
+        np.testing.assert_array_equal(np.asarray(a_m), np.asarray(a_g))
+
+    def test_rays_from_inside(self, teapot_scene, mega_cfg):
+        scene, cfg = teapot_scene
+        o, d = random_rays(256, seed=6, spread=1.5)
+        t_max = jnp.full((256,), jnp.inf)
+        _, prim_g, hit_g = kd_closest(scene.kd, scene.triangles, o, d, t_max, cfg)
+        _, prim_m, hit_m = kd_closest(scene.kd, scene.triangles, o, d, t_max, mega_cfg)
+        np.testing.assert_array_equal(np.asarray(hit_m), np.asarray(hit_g))
+        h = np.asarray(hit_g)
+        np.testing.assert_array_equal(np.asarray(prim_m)[h], np.asarray(prim_g)[h])
+
+
 def test_render_kd_equals_brute(teapot):
     from dod_raytracer_tpu import render_image
 
