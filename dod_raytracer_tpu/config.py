@@ -35,7 +35,9 @@ class Config:
     stack_depth: int = 64  # traversal worklist depth (kdtree.cpp:279)
     use_kdtree: bool = True
     triangle_backend: str = "jnp"  # brute-force path: 'jnp' | 'pallas' | 'plucker'
-    traversal_backend: str = "xla"  # kd traversal: 'xla' | 'binned' | 'mega'
+    # kd traversal backend: 'auto' resolves to the Pallas megakernel on TPU
+    # when the node table fits a ray tile, else the XLA wavefront loop
+    traversal_backend: str = "auto"  # 'auto' | 'xla' | 'binned' | 'mega'
     tri_shard_axis: str = ""  # mesh axis name when triangles are leaf-sharded
     replicate_reference_bugs: bool = False  # e.g. cylinder hit color dropped
 

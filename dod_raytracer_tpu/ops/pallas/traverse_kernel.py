@@ -156,9 +156,11 @@ def _kernel(tbl_ref, o_ref, d_ref, invd_ref, tmin_ref, tmax_ref, act_ref,
             stx = stack_set(s2["stx"], sp_c, s2["tmax"], do_push)
             sp = jnp.where(do_push, sp + 1, sp)
 
+            was_interior = s2["active"] & (flag < 2.5)
+            # no jnp.where on i1 vectors — Mosaic can't truncate i8->i1
             return dict(
                 s2,
-                active=jnp.where(s2["active"] & (flag < 2.5), act, s2["active"]),
+                active=(was_interior & act) | (~was_interior & s2["active"]),
                 node=jnp.where(interior, node_i, node),
                 tmax=jnp.where(interior, tmax_i, s2["tmax"]),
                 sp=sp, stn=stn, stt=stt, stx=stx,

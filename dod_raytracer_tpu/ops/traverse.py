@@ -425,6 +425,10 @@ def _traverse_mega(kd, o, d, t_max, cfg, any_hit: bool):
 
 def _backend(kd, cfg):
     be = getattr(cfg, "traversal_backend", "xla")
+    if be == "auto":
+        from .pallas.mt_kernel import on_tpu
+
+        be = "mega" if on_tpu() else "xla"
     if be == "mega":
         from .pallas.traverse_kernel import TILE
 
