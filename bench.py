@@ -46,12 +46,18 @@ def build_flagship(small: bool):
 
     # ray_tile=16384: traversal throughput is flat in batch size on v5e
     # (0.19 Mrays/s @16k vs 0.18 @65k) and the smaller program compiles
-    # far faster through the remote-compile tunnel
+    # far faster through the remote-compile tunnel.
+    # MaxPrims/leaf_chunk_lanes=32 (256-tri leaf blocks): TPU-tuned tree
+    # shape — fat leaves are near-free on the MXU while every interior
+    # step pays a fixed-rate HBM row gather; measured +61% over the
+    # reference's CPU-tuned MaxPrims=8 on dragon@v5e (scripts/tpu_sweep.py)
     if small:
-        cfg = Config(Width=512, Height=512, use_kdtree=True, ray_tile=16384)
+        cfg = Config(Width=512, Height=512, use_kdtree=True, ray_tile=16384,
+                     MaxPrims=32, leaf_chunk_lanes=32)
         mesh = "teapot"
     else:
-        cfg = Config(Width=1920, Height=1080, use_kdtree=True, ray_tile=16384)
+        cfg = Config(Width=1920, Height=1080, use_kdtree=True, ray_tile=16384,
+                     MaxPrims=32, leaf_chunk_lanes=32)
         mesh = "dragon"
     frozen = _FrozenConfig.from_config(cfg)
     scene = default_scene(seed=0, cfg=cfg, mesh=mesh).build(cfg)

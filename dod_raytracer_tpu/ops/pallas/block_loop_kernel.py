@@ -99,7 +99,10 @@ def _kernel(rays_ref, keys_ref, g_hbm, orig_hbm, t_ref, idx_ref,
         cp_g.wait()
         cp_o.wait()
 
-        out = jnp.dot(r, g_vmem[:], preferred_element_type=jnp.float32)  # (TR, 5*Spad)
+        # HIGHEST: one-pass-bf16 default rounds ray/plane coefficients and
+        # flips borderline hits vs the exact-f32 XLA traversal
+        out = jnp.dot(r, g_vmem[:], preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)  # (TR, 5*Spad)
         s0 = out[:, 0 * spad:1 * spad]
         s1 = out[:, 1 * spad:2 * spad]
         s2 = out[:, 2 * spad:3 * spad]

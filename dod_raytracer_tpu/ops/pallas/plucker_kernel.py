@@ -75,11 +75,14 @@ def _plucker_kernel(rays_ref, g_ref, t_ref, idx_ref, *, tile_t: int):
         idx_ref[:] = jnp.zeros_like(idx_ref)
 
     r = rays_ref[:, 0:10]  # (TILE_R, 10): [d, oxd, o, 1]
-    s0 = jnp.dot(r, g_ref[0], preferred_element_type=jnp.float32)
-    s1 = jnp.dot(r, g_ref[1], preferred_element_type=jnp.float32)
-    s2 = jnp.dot(r, g_ref[2], preferred_element_type=jnp.float32)
-    den = jnp.dot(r, g_ref[3], preferred_element_type=jnp.float32)
-    num = jnp.dot(r, g_ref[4], preferred_element_type=jnp.float32)
+    # HIGHEST: the default TPU f32 dot is one-pass bf16, which loses
+    # geometric precision and flips borderline hits vs the exact VPU oracle
+    hi = jax.lax.Precision.HIGHEST
+    s0 = jnp.dot(r, g_ref[0], preferred_element_type=jnp.float32, precision=hi)
+    s1 = jnp.dot(r, g_ref[1], preferred_element_type=jnp.float32, precision=hi)
+    s2 = jnp.dot(r, g_ref[2], preferred_element_type=jnp.float32, precision=hi)
+    den = jnp.dot(r, g_ref[3], preferred_element_type=jnp.float32, precision=hi)
+    num = jnp.dot(r, g_ref[4], preferred_element_type=jnp.float32, precision=hi)
 
     pos = (s0 > 0.0) & (s1 > 0.0) & (s2 > 0.0)
     neg = (s0 < 0.0) & (s1 < 0.0) & (s2 < 0.0)

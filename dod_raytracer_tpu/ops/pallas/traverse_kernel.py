@@ -8,17 +8,21 @@ VMEM, so an interior step is a handful of VPU ops and a leaf round is one
 contiguous DMA + one MXU matmul per distinct block:
 
   grid over 1024-ray tiles; per tile:
-    node table (Mpad, 8) resident in VMEM      [Mpad == TILE rows]
+    node table (Mpad, 8) resident in VMEM
     while any ray active:
-        descend: per-step tpu.dynamic_gather row lookup + near/far logic
+        descend: per-step one-hot MXU row lookup + near/far logic
         leaf:    distinct-block loop — DMA block_g[blk] + Plücker matmul
         pop:     one-hot stack restore
 
-The per-ray node lookup uses Mosaic's ``tpu.dynamic_gather`` via
-``jnp.take_along_axis(table, idx, axis=0)``, which requires
-table.shape == idx.shape — hence TILE == Mpad and the M <= TILE
-restriction (the caller falls back to the XLA traversal for bigger
-trees; a subtree-tiled extension lifts this later).
+The per-ray node lookup CANNOT be a ``tpu.dynamic_gather``: Mosaic
+requires the source to fit a single vreg along the gather dimension
+(8 sublanes for f32), and the node table has up to 1024 rows.  Instead
+the lookup is a (TILE, Mpad) one-hot @ (Mpad, 8) MXU matmul — exact,
+because each one-hot row has a single 1.0 so every output element is a
+plain f32 product with no accumulation.  The fetched row is carried in
+loop state so each descend step pays exactly one matmul.  Cost is
+O(TILE * M) per step, which is why the kernel is gated to M <= 1024
+(the caller falls back to the XLA traversal for bigger trees).
 
 Semantics are the reference pbrt-style walk (kdtree.cpp:263-361), matching
 ops/traverse.py exactly: near/far ordering with the origin-on-plane tie
@@ -38,23 +42,27 @@ from jax.experimental.pallas import tpu as pltpu
 _INF = float("inf")
 _BIG_I = 2**30
 
-TILE = 1024  # rays per tile == padded node-table rows (dynamic_gather rule)
+TILE = 256  # rays per tile — the (TILE, Mpad) one-hot transient, the carried
+# (TILE, 128) row and the stacks all scale with TILE; 1024 blows VMEM
+MAX_NODES = 1024  # one-hot lookup is O(M) per ray-step; cap the table
 
 
 def pack_nodes_mega(kd, tile: int = TILE) -> jnp.ndarray:
-    """(Mpad=tile, 8) f32 node table [flag|split|right|leaf_start|leaf_lanes|
-    block0|0|0]; int columns are stored as *values* (exact in f32 below 2^24),
+    """(Mpad, 8) f32 node table [flag|split|right|leaf_start|leaf_lanes|
+    block0|0...]; int columns are stored as *values* (exact in f32 below 2^24),
     not bitcasts, so the in-kernel decode is a cheap float->int convert.
-    block0 = leaf_start // block_lanes precomputed per leaf."""
+    block0 = leaf_start // block_lanes precomputed per leaf.  Rows padded to
+    a 128 multiple (matmul K dim); columns padded to 128 (one full MXU tile,
+    and the natural layout for the loop-carried fetched row)."""
     M = kd.node_flag.shape[0]
-    assert M <= tile, (M, tile)
+    assert M <= MAX_NODES, (M, MAX_NODES)
+    mpad = max(128, -(-M // 128) * 128)
     f = lambda a: a.astype(jnp.float32)
     block0 = kd.node_leaf_start // max(kd.block_lanes, 1)
     tbl = jnp.stack([
         f(kd.node_flag), kd.node_split, f(kd.node_right),
-        f(kd.node_leaf_start), f(kd.node_leaf_lanes), f(block0),
-        jnp.zeros((M,), jnp.float32), jnp.zeros((M,), jnp.float32)], axis=1)
-    return jnp.pad(tbl, ((0, tile - M), (0, 0)))
+        f(kd.node_leaf_start), f(kd.node_leaf_lanes), f(block0)], axis=1)
+    return jnp.pad(tbl, ((0, mpad - M), (0, 128 - tbl.shape[1])))
 
 
 def _kernel(tbl_ref, o_ref, d_ref, invd_ref, tmin_ref, tmax_ref, act_ref,
@@ -63,7 +71,7 @@ def _kernel(tbl_ref, o_ref, d_ref, invd_ref, tmin_ref, tmax_ref, act_ref,
             g_vmem, orig_vmem, sem_g, sem_o,
             *, num_blocks: int, spad: int, block_lanes: int, stack_depth: int,
             any_hit: bool):
-    tbl = tbl_ref[:]                    # (TILE, 8) f32
+    tbl = tbl_ref[:]                    # (Mpad, 128) f32 (6 used cols)
     o = o_ref[:]                        # (TILE, 4) [x y z pad]
     d = d_ref[:]
     inv_d = invd_ref[:]
@@ -72,14 +80,23 @@ def _kernel(tbl_ref, o_ref, d_ref, invd_ref, tmin_ref, tmax_ref, act_ref,
     tmin0 = tmin_ref[:, 0:1]            # (TILE, 1)
     tmax0 = tmax_ref[:, 0:1]
     t_max = tmax_ref[:, 1:2]            # column 1 carries the clip (t_max)
-    act0 = act_ref[:, 0:1] != 0
+    act0_i = act_ref[:, 0:1]            # i32 0/1 — i1 can't be loop state
 
     zero_i = jnp.zeros_like(tmin0, dtype=jnp.int32)  # (TILE, 1) i32
 
     def fetch(node):
-        """node (TILE,1) i32 -> that node's 8 fields, (TILE,8) f32."""
-        idx = jnp.broadcast_to(node, tbl.shape[:1] + (tbl.shape[1],))
-        return jnp.take_along_axis(tbl, idx, axis=0)
+        """node (TILE,1) i32 -> that node's row, (TILE,128) f32.
+
+        One-hot MXU lookup (see module docstring): Mosaic's dynamic_gather
+        cannot cross vregs along the gather dim, so gather-by-matmul.
+        Exact — one 1.0 per row means every output is a single product."""
+        cols = jax.lax.broadcasted_iota(
+            jnp.int32, (node.shape[0], tbl.shape[0]), 1)
+        onehot = (cols == node).astype(jnp.float32)
+        # HIGHEST: default TPU f32 dot is one-pass bf16 — it rounds int-valued
+        # table columns (node ids need >8 mantissa bits) and corrupts indices
+        return jnp.dot(onehot, tbl, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
 
     def stack_set(st, sp, value, do):
         rows = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
@@ -99,36 +116,37 @@ def _kernel(tbl_ref, o_ref, d_ref, invd_ref, tmin_ref, tmax_ref, act_ref,
         return jnp.take_along_axis(v, idx, axis=1)[:, 0:1]
 
     state0 = dict(
-        active=act0,
+        active=act0_i,
         node=zero_i,
+        row=fetch(zero_i),
         tmin=tmin0, tmax=tmax0,
         sp=zero_i,
         cursor=zero_i,
         t_best=t_max,
         prim_best=jnp.full_like(zero_i, -1),
-        found=jnp.zeros_like(act0),
-        stn=jnp.zeros((stack_depth, tbl.shape[0]), jnp.int32),
-        stt=jnp.zeros((stack_depth, tbl.shape[0]), jnp.float32),
-        stx=jnp.zeros((stack_depth, tbl.shape[0]), jnp.float32),
+        found=jnp.zeros_like(zero_i),
+        stn=jnp.zeros((stack_depth, o.shape[0]), jnp.int32),
+        stt=jnp.zeros((stack_depth, o.shape[0]), jnp.float32),
+        stx=jnp.zeros((stack_depth, o.shape[0]), jnp.float32),
     )
 
     def outer_cond(s):
-        return jnp.any(s["active"])
+        return jnp.any(s["active"] != 0)
 
     def outer_body(s):
         # ---------------- descend to leaves ----------------
         def des_cond(s2):
-            fl = fetch(s2["node"])[:, 0:1]
-            return jnp.any(s2["active"] & (fl < 2.5))
+            fl = s2["row"][:, 0:1]
+            return jnp.any((s2["active"] != 0) & (fl < 2.5))
 
         def des_body(s2):
-            row = fetch(s2["node"])
+            row = s2["row"]
             flag = row[:, 0:1]
             split = row[:, 1:2]
             right = row[:, 2:3].astype(jnp.int32)
-            act = s2["active"]
+            act_in = s2["active"] != 0
             clip = jnp.minimum(s2["t_best"], t_max)
-            act = act & ~(clip < s2["tmin"])
+            act = act_in & ~(clip < s2["tmin"])
             interior = act & (flag < 2.5)
 
             axis = flag.astype(jnp.int32)
@@ -156,12 +174,14 @@ def _kernel(tbl_ref, o_ref, d_ref, invd_ref, tmin_ref, tmax_ref, act_ref,
             stx = stack_set(s2["stx"], sp_c, s2["tmax"], do_push)
             sp = jnp.where(do_push, sp + 1, sp)
 
-            was_interior = s2["active"] & (flag < 2.5)
-            # no jnp.where on i1 vectors — Mosaic can't truncate i8->i1
+            was_interior = act_in & (flag < 2.5)
+            node_new = jnp.where(interior, node_i, node)
+            active_new = (was_interior & act) | (~was_interior & act_in)
             return dict(
                 s2,
-                active=(was_interior & act) | (~was_interior & s2["active"]),
-                node=jnp.where(interior, node_i, node),
+                active=active_new.astype(jnp.int32),
+                node=node_new,
+                row=fetch(node_new),
                 tmax=jnp.where(interior, tmax_i, s2["tmax"]),
                 sp=sp, stn=stn, stt=stt, stx=stx,
             )
@@ -169,11 +189,11 @@ def _kernel(tbl_ref, o_ref, d_ref, invd_ref, tmin_ref, tmax_ref, act_ref,
         s = jax.lax.while_loop(des_cond, des_body, s)
 
         # ---------------- leaf: distinct-block loop ----------------
-        row = fetch(s["node"])
+        row = s["row"]
         leaf_lanes = row[:, 4:5].astype(jnp.int32)
         block0 = row[:, 5:6].astype(jnp.int32)
 
-        act = s["active"]
+        act = s["active"] != 0
         clip = jnp.minimum(s["t_best"], t_max)
         act = act & ~(clip < s["tmin"])
         has_work = act & (s["cursor"] < leaf_lanes)
@@ -195,7 +215,8 @@ def _kernel(tbl_ref, o_ref, d_ref, invd_ref, tmin_ref, tmax_ref, act_ref,
             cp_g.wait()
             cp_o.wait()
 
-            out = jnp.dot(r16, g_vmem[:], preferred_element_type=jnp.float32)
+            out = jnp.dot(r16, g_vmem[:], preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
             s0 = out[:, 0 * spad:1 * spad]
             s1 = out[:, 1 * spad:2 * spad]
             s2_ = out[:, 2 * spad:3 * spad]
@@ -224,7 +245,7 @@ def _kernel(tbl_ref, o_ref, d_ref, invd_ref, tmin_ref, tmax_ref, act_ref,
             improved = process & (t_min < clip_b)
             t_best = jnp.where(improved, t_min, t_best)
             prim_best = jnp.where(improved, idx_min, prim_best)
-            found = found | improved
+            found = found | improved.astype(jnp.int32)
             remaining = jnp.where(process, jnp.int32(_BIG_I), remaining)
             return remaining, t_best, prim_best, found
 
@@ -250,8 +271,9 @@ def _kernel(tbl_ref, o_ref, d_ref, invd_ref, tmin_ref, tmax_ref, act_ref,
         cursor = jnp.where(pop, 0, cursor)
 
         return dict(
-            s, active=act, node=node, tmin=tmin, tmax=tmax, sp=sp,
-            cursor=cursor, t_best=t_best, prim_best=prim_best, found=found,
+            s, active=act.astype(jnp.int32), node=node, row=fetch(node),
+            tmin=tmin, tmax=tmax, sp=sp, cursor=cursor, t_best=t_best,
+            prim_best=prim_best, found=found,
         )
 
     out = jax.lax.while_loop(outer_cond, outer_body, state0)
@@ -269,7 +291,7 @@ def mega_traverse(tbl, o4, d4, invd4, tmin, tmax_clip, active, rays,
     """Full kd traversal for N rays (N % TILE == 0).
 
     Args (all padded to TILE multiples by the caller):
-      tbl: (TILE, 8) node table from pack_nodes_mega.
+      tbl: (Mpad, 128) node table from pack_nodes_mega.
       o4/d4/invd4: (N, 4) ray origin/dir/inverse-dir (4th col padding).
       tmin: (N, 1) entry t; tmax_clip: (N, 2) [exit t, clip t_max].
       active: (N, 1) i32 root-hit mask.
@@ -283,6 +305,7 @@ def mega_traverse(tbl, o4, d4, invd4, tmin, tmax_clip, active, rays,
     B, K, SP5 = block_g.shape
     spad = SP5 // 5
     assert K == 16
+    mpad = tbl.shape[0]
 
     return pl.pallas_call(
         functools.partial(_kernel, num_blocks=B, spad=spad,
@@ -290,7 +313,7 @@ def mega_traverse(tbl, o4, d4, invd4, tmin, tmax_clip, active, rays,
                           any_hit=any_hit),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((mpad, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),

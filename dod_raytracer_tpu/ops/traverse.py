@@ -426,13 +426,17 @@ def _traverse_mega(kd, o, d, t_max, cfg, any_hit: bool):
 def _backend(kd, cfg):
     be = getattr(cfg, "traversal_backend", "xla")
     if be == "auto":
+        # Measured on v5e (BASELINE.md): the Pallas megakernel wins on
+        # coherent wavefronts when the node table fits VMEM (teapot camera:
+        # 34.6ms vs 60ms XLA @16k rays); the XLA wavefront loop is the
+        # fastest generally-applicable backend for big trees.
         from .pallas.mt_kernel import on_tpu
 
         be = "mega" if on_tpu() else "xla"
     if be == "mega":
-        from .pallas.traverse_kernel import TILE
+        from .pallas.traverse_kernel import MAX_NODES
 
-        if kd.node_flag.shape[0] > TILE or kd.block_g is None:
+        if kd.node_flag.shape[0] > MAX_NODES or kd.block_g is None:
             return "xla"  # tree too big for the resident-table kernel
     return be
 

@@ -66,7 +66,8 @@ def main():
         from dod_raytracer_tpu.camera import primary_rays
 
         o_all, d_all, _ = primary_rays(1920, 1080)
-        o, d = o_all[:n], d_all[:n]
+        mid = (o_all.shape[0] - n) // 2  # center rows: rays that actually hit
+        o, d = o_all[mid:mid + n], d_all[mid:mid + n]
         print("rays: camera (coherent)", flush=True)
     else:
         o = jnp.asarray(((rng.random((n, 3)) * 2 - 1) * 4).astype(np.float32))

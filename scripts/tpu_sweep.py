@@ -11,6 +11,8 @@ CHILD = """
 import os, sys, time
 sys.path.insert(0, %(root)r)
 import jax, jax.numpy as jnp, numpy as np
+jax.config.update('jax_compilation_cache_dir', %(root)r + '/.jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 x = jnp.ones((128,128)); x = (x@x).block_until_ready()  # warm the claim/compile path
 print('WARM ok', flush=True)
 from dod_raytracer_tpu.config import Config
@@ -23,7 +25,8 @@ rng = np.random.default_rng(0)
 if %(camera)r:
     from dod_raytracer_tpu.camera import primary_rays
     o_all, d_all, _ = primary_rays(1920, 1080)
-    o, d = o_all[:n], d_all[:n]
+    mid = (o_all.shape[0] - n) // 2  # center rows: rays that actually hit
+    o, d = o_all[mid:mid + n], d_all[mid:mid + n]
 else:
     o = jnp.asarray(((rng.random((n,3))*2-1)*4).astype(np.float32))
     d = rng.standard_normal((n,3)).astype(np.float32); d /= np.linalg.norm(d,axis=1,keepdims=True)
