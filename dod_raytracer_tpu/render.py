@@ -39,7 +39,10 @@ def render_rays(scene, o, d, pixel_dirs, cfg: Config) -> jnp.ndarray:
 
     def bounce(carry, k):
         o, d, final, active = carry
-        hit = closest_hit(scene, o, d, cfg)
+        # dead rays get t_max=-1: the root slab test rejects them instantly,
+        # so the lockstep traversal loops run only as long as live rays need
+        t_max = jnp.where(active, jnp.inf, -1.0)
+        hit = closest_hit(scene, o, d, cfg, t_max=t_max)
         active = active & hit.mask
         factor = lighting_factor(scene, hit.point, hit.normal, pixel_dirs, cfg, active)
         color = hit.color * factor[:, None]

@@ -33,18 +33,23 @@ SPECULAR_POW = 7.0  # main.cpp:178
 SHADOW_OFFSET = 0.01  # main.cpp:192
 
 
-def light_visibility(scene, points, cfg) -> jnp.ndarray:
+def light_visibility(scene, points, cfg, active=None) -> jnp.ndarray:
     """(N, L) bool — canSeeLight (main.cpp:182-219) for all rays x lights.
 
     Lights are processed sequentially (lax.map) so the shadow wavefront
     stays at N rays — batching N*L through the kd traversal multiplies the
     leaf-gather working set by L and OOMs HBM at production tile sizes.
+
+    Rays masked out by ``active`` get t_max=-1 so every occlusion kernel's
+    root/entry test rejects them instantly (no wasted traversal work).
     """
     def one_light(lp):
         to_light = lp[None, :] - points  # (N, 3)
         dist = jnp.sqrt(jnp.sum(to_light * to_light, axis=-1))
         ldir = to_light / jnp.maximum(dist, 1e-30)[:, None]
         o = points + ldir * SHADOW_OFFSET
+        if active is not None:
+            dist = jnp.where(active, dist, -1.0)
         return occluded(scene, o, ldir, dist, cfg)
 
     blocked = jax.lax.map(one_light, scene.lights.position)  # (L, N)
@@ -59,7 +64,8 @@ def lighting_factor(scene, points, normals, pixel_dirs, cfg, active=None) -> jnp
     factor is still computed but visibility is forced False to avoid
     wasted-ray NaNs from garbage hit points).
     """
-    visible = jax.lax.stop_gradient(light_visibility(scene, points, cfg))  # (N, L)
+    visible = jax.lax.stop_gradient(
+        light_visibility(scene, points, cfg, active))  # (N, L)
     if active is not None:
         visible &= active[:, None]
     lp = scene.lights.position  # (L, 3)
