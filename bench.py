@@ -35,8 +35,8 @@ import jax.numpy as jnp
 import numpy as np
 
 # Round-1 pinned measurement (primary rays/sec, 1 TPU v5e chip, dragon@1080p
-# fwd). Update only when re-baselining is explicitly intended.
-BASELINE_RAYS_PER_SEC = None  # set after first real-chip measurement
+# fwd, 2026-08-18). Update only when re-baselining is explicitly intended.
+BASELINE_RAYS_PER_SEC = 27_980_698.0
 
 
 def build_flagship(small: bool):

@@ -249,3 +249,67 @@ def perm_from_prim_nums(prim_nums: np.ndarray, num_tris: int, lane_size: int) ->
     flat = base.reshape(-1)
     flat = np.where((flat >= 0) & (flat < num_tris) & np.repeat(prim_nums >= 0, lane_size), flat, -1)
     return flat.astype(np.int32)
+
+
+def cut_treelets(built: BuiltKD, cap: int):
+    """Cut the preorder node array into root-disjoint subtrees ("treelets")
+    of <= cap nodes each, for the VMEM-resident Pallas forest traversal.
+
+    Nodes are emitted in preorder (``recurse`` appends parent, then the
+    whole left subtree, then the right), so subtree(i) = [i, i+size(i)) is
+    contiguous and a treelet is a plain slice.  Interior nodes *above* the
+    cuts are discarded: the traversal replaces them with a per-treelet
+    AABB slab test (every leaf lives in exactly one treelet, and the
+    union of treelet boxes is the root box, so coverage is exact).
+
+    Returns (roots (T,) i64, sizes (T,) i64, bounds (T, 6) f32) with
+    bounds the split-derived box of each treelet root (the exact interval
+    the single-tree walk would have used at that node).
+    """
+    M = built.node_flag.shape[0]
+    size = np.ones(M, np.int64)
+    for i in range(M - 1, -1, -1):  # reverse preorder: children first
+        if built.node_flag[i] != LEAF_FLAG:
+            size[i] = 1 + size[i + 1] + size[built.node_right[i]]
+    roots, sizes, bounds = [], [], []
+    stack = [(0, built.bounds_min.astype(np.float64),
+              built.bounds_max.astype(np.float64))]
+    while stack:
+        i, bmin, bmax = stack.pop()
+        if size[i] <= cap:
+            roots.append(i)
+            sizes.append(int(size[i]))
+            bounds.append(np.concatenate([bmin, bmax]).astype(np.float32))
+            continue
+        ax = int(built.node_flag[i])
+        sp = float(built.node_split[i])
+        lmax = bmax.copy()
+        lmax[ax] = sp
+        rmin = bmin.copy()
+        rmin[ax] = sp
+        stack.append((int(built.node_right[i]), rmin, bmax))
+        stack.append((i + 1, bmin, lmax))
+    return (np.asarray(roots, np.int64), np.asarray(sizes, np.int64),
+            np.stack(bounds, axis=0))
+
+
+def pack_treelet_tables(built: BuiltKD, roots, sizes, block_lanes: int,
+                        cap: int) -> np.ndarray:
+    """(T, cap, 128) f32 node tables, one row layout per pack_nodes_mega:
+    [flag|split|right_local|leaf_start|leaf_lanes|block0|0...].  Child
+    indices are treelet-local (left = local+1 by preorder, right
+    rebased); leaf_start/block0 stay global (blocks live in HBM)."""
+    T = len(roots)
+    tbl = np.zeros((T, cap, 128), np.float32)
+    for t in range(T):
+        r, sz = int(roots[t]), int(sizes[t])
+        sl = slice(r, r + sz)
+        flag = built.node_flag[sl]
+        interior = flag != LEAF_FLAG
+        tbl[t, :sz, 0] = flag
+        tbl[t, :sz, 1] = built.node_split[sl]
+        tbl[t, :sz, 2] = np.where(interior, built.node_right[sl] - r, 0)
+        tbl[t, :sz, 3] = built.node_leaf_start[sl]
+        tbl[t, :sz, 4] = built.node_leaf_lanes[sl]
+        tbl[t, :sz, 5] = built.node_leaf_start[sl] // max(block_lanes, 1)
+    return tbl

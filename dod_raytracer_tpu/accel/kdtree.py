@@ -43,7 +43,21 @@ def build_kdtree(tri_verts: np.ndarray, cfg) -> KDArrays:
     built = _kdtree_np.align_leaves(built, cfg.leaf_chunk_lanes)
     perm = _kdtree_np.perm_from_prim_nums(built.prim_nums, tri_verts.shape[0], cfg.lane_size)
     block = cfg.leaf_chunk_lanes * cfg.lane_size
+
+    # treelet forest for the Pallas megakernel when the tree exceeds one
+    # VMEM-resident table (ops/pallas/traverse_kernel.py MAX_NODES)
+    tre_tbl = tre_bounds = None
+    from ..ops.pallas.traverse_kernel import MAX_NODES
+
+    if built.node_flag.shape[0] > MAX_NODES:
+        roots, sizes, bounds6 = _kdtree_np.cut_treelets(built, MAX_NODES)
+        tre_tbl = jnp.asarray(_kdtree_np.pack_treelet_tables(
+            built, roots, sizes, cfg.leaf_chunk_lanes, MAX_NODES))
+        tre_bounds = jnp.asarray(np.pad(bounds6, ((0, 0), (0, 2))))
+
     kd = KDArrays(
+        tre_tbl=tre_tbl,
+        tre_bounds=tre_bounds,
         node_flag=jnp.asarray(built.node_flag),
         node_split=jnp.asarray(built.node_split),
         node_right=jnp.asarray(built.node_right),

@@ -85,8 +85,11 @@ def main():
     if "jnp" in sections:
         from dod_raytracer_tpu.ops.triangle import brute_force_closest
 
+        # scene arrays must be jit ARGUMENTS: closed-over constants are
+        # rematerialized per execution on axon (~100x slowdown)
         (t_b, i_b), s_jnp = timeit(
-            "jnp brute", jax.jit(lambda o, d: brute_force_closest(scene.triangles.verts, o, d)), o, d)
+            "jnp brute", jax.jit(lambda v, o, d: brute_force_closest(v, o, d)),
+            scene.triangles.verts, o, d)
         print(f"  -> {n / s_jnp / 1e6:.2f} Mrays/s", flush=True)
         hb = np.isfinite(np.asarray(t_b))
 
@@ -95,8 +98,8 @@ def main():
 
         (t_k, i_k, h_k), s_kd = timeit(
             "kd traversal",
-            jax.jit(lambda o, d, t: kd_closest(scene.kd, scene.triangles, o, d, t, cfg)),
-            o, d, t_max)
+            jax.jit(lambda s, o, d, t: kd_closest(s.kd, s.triangles, o, d, t, cfg)),
+            scene, o, d, t_max)
         print(f"  -> {n / s_kd / 1e6:.2f} Mrays/s", flush=True)
         hk = np.asarray(h_k)
         if hb is not None:
@@ -107,7 +110,8 @@ def main():
 
         soa = swizzle_tris(jnp.asarray(tv))
         (t_p, i_p), s_pallas = timeit(
-            "pallas brute", jax.jit(lambda o, d: mt_closest_pallas(soa, o, d)), o, d)
+            "pallas brute", jax.jit(lambda soa, o, d: mt_closest_pallas(soa, o, d)),
+            soa, o, d)
         print(f"  -> {n / s_pallas / 1e6:.2f} Mrays/s, "
               f"{n * tv.shape[0] / s_pallas / 1e12:.2f} Tpair/s", flush=True)
         if hb is not None:
@@ -119,7 +123,8 @@ def main():
 
         g = plucker_pack(jnp.asarray(tv))
         (t_pk, i_pk), s_pk = timeit(
-            "plucker MXU brute", jax.jit(lambda o, d: plucker_closest(g, o, d)), o, d)
+            "plucker MXU brute", jax.jit(lambda g, o, d: plucker_closest(g, o, d)),
+            g, o, d)
         print(f"  -> {n / s_pk / 1e6:.2f} Mrays/s, "
               f"{n * tv.shape[0] / s_pk / 1e9:.1f} Gpair/s", flush=True)
 
@@ -130,8 +135,8 @@ def main():
         cfg_m = _C(use_kdtree=True, traversal_backend="mega")
         (t_mg, i_mg, h_mg), s_mg = timeit(
             "kd mega",
-            jax.jit(lambda o, d, t: _kdc2(scene.kd, scene.triangles, o, d, t, cfg_m)),
-            o, d, t_max)
+            jax.jit(lambda s, o, d, t: _kdc2(s.kd, s.triangles, o, d, t, cfg_m)),
+            scene, o, d, t_max)
         print(f"  -> {n / s_mg / 1e6:.2f} Mrays/s", flush=True)
         if hk is not None:
             print(f"  mega vs kd: hit mismatch {int((np.asarray(h_mg) ^ hk).sum())}", flush=True)
@@ -143,8 +148,8 @@ def main():
         cfg_b = _C(use_kdtree=True, traversal_backend="binned")
         (t_bn, i_bn, h_bn), s_bn = timeit(
             "kd binned",
-            jax.jit(lambda o, d, t: _kdc(scene.kd, scene.triangles, o, d, t, cfg_b)),
-            o, d, t_max)
+            jax.jit(lambda s, o, d, t: _kdc(s.kd, s.triangles, o, d, t, cfg_b)),
+            scene, o, d, t_max)
         print(f"  -> {n / s_bn / 1e6:.2f} Mrays/s", flush=True)
         if hk is not None:
             print(f"  binned vs kd: hit mismatch {int((np.asarray(h_bn) ^ hk).sum())}", flush=True)

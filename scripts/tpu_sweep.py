@@ -36,12 +36,12 @@ cfg = Config(use_kdtree=True, MaxPrims=%(mp)d, leaf_chunk_lanes=%(chunk)d,
              traversal_backend=%(backend)r)
 b = SceneBuilder(); b.add_mesh(tv, tn); b.add_light((0,3,-3),3.0)
 scene = b.build(cfg)
-fn = jax.jit(lambda o,d,t: kd_closest(scene.kd, scene.triangles, o, d, t, cfg))
+fn = jax.jit(lambda s,o,d,t: kd_closest(s.kd, s.triangles, o, d, t, cfg))
 print('BUILT scene', flush=True)
-t0=time.time(); out = fn(o,d,t_max); jax.block_until_ready(out); c1=time.time()-t0
+t0=time.time(); out = fn(scene,o,d,t_max); jax.block_until_ready(out); c1=time.time()-t0
 ts=[]
 for _ in range(3):
-    t0=time.time(); out=fn(o,d,t_max); jax.block_until_ready(out); ts.append(time.time()-t0)
+    t0=time.time(); out=fn(scene,o,d,t_max); jax.block_until_ready(out); ts.append(time.time()-t0)
 run=float(np.median(ts)); hits=int(np.asarray(out[2]).sum())
 bt = scene.kd.block_tris
 print('RESULT mp=%(mp)d chunk=%(chunk)d nodes=%%d blocks=%%s compile=%%.1fs run=%%.1fms Mrays/s=%%.3f hits=%%d'
