@@ -7,16 +7,18 @@ dragon-scale mesh (~870k tris, procedural stand-in for the stripped
 lights, 10-bounce Whitted with shadowed Phong, kd-tree traversal — on one
 TPU chip.
 
-Metric: primary rays/sec (pixels traced per second through the full
-integrator; each primary ray spawns up to 10 bounces x (1 closest-hit +
-9 shadow any-hits), so total ray casts/sec is up to ~100x this number).
+Metric: primary rays/sec over the FULL 1080p frame (every tile of the
+frame is rendered per repeat — no tile sampling, no spatial bias; a full
+frame is ~80ms so whole-frame timing is affordable).  Each primary ray
+spawns up to 10 bounces x (1 closest-hit + 9 shadow any-hits), so total
+ray casts/sec is up to ~100x this number.
 
-``vs_baseline`` compares against the round-1 TPU measurement pinned in
-``BASELINE_RAYS_PER_SEC`` (the reference itself publishes no numbers —
-SURVEY.md §6); >1.0 means faster than the first TPU build.
+``vs_baseline`` compares against the round-2 full-frame measurement pinned
+in ``BASELINE_RAYS_PER_SEC`` (the reference itself publishes no numbers —
+SURVEY.md §6); >1.0 means faster than the pinned TPU build.
 
 Usage:
-  python bench.py            # flagship: dragon @1080p fwd
+  python bench.py            # flagship: dragon @1080p fwd, full frame
   python bench.py --small    # teapot @512x512 (smoke)
   python bench.py --grad     # dragon fwd+bwd (vertex-position gradients)
 """
@@ -34,9 +36,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
-# Round-1 pinned measurement (primary rays/sec, 1 TPU v5e chip, dragon@1080p
-# fwd, 2026-08-18). Update only when re-baselining is explicitly intended.
-BASELINE_RAYS_PER_SEC = 27_980_698.0
+# Round-2 pinned measurement (primary rays/sec, 1 TPU v5e chip, dragon@1080p
+# fwd, FULL-frame timing, 2026-08-19). Update only when re-baselining is
+# explicitly intended.  The round-1 pin (27.98M) timed a 4-tile top-of-frame
+# sample — biased toward wall-only tiles; this pin times every tile.
+BASELINE_RAYS_PER_SEC = 26_000_000.0
+BASELINE_RAYS_PER_SEC_GRAD = 3_600_000.0
 
 
 def build_flagship(small: bool):
@@ -64,23 +69,33 @@ def build_flagship(small: bool):
     return scene, frozen
 
 
-def bench_forward(scene, cfg, repeats=3, sample_tiles=4):
-    """Primary rays/sec through the full integrator.
-
-    Measures ``sample_tiles`` jitted render tiles drawn from the 1080p
-    frame (the same per-tile program render_image dispatches — all tiles
-    share one executable, so per-tile time is uniform and rays/s over a
-    sample equals rays/s over the frame).  A sample is used because a
-    whole dragon@1080p frame at current traversal throughput takes tens of
-    minutes, which the driver's bench budget does not allow.
-    """
+def _frame_tiles(cfg):
+    """All ray tiles of the frame, padded like render_image."""
     from dod_raytracer_tpu.camera import primary_rays
-    from dod_raytracer_tpu.render import _render_tile_jit
 
     o, d, d_raw = primary_rays(cfg.Width, cfg.Height)
     n = o.shape[0]
     tile = min(cfg.ray_tile, n)
-    k = min(sample_tiles, n // tile)
+    pad = (-n) % tile
+    if pad:
+        fill = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], d.dtype), (pad, 1))
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)], 0)
+        d = jnp.concatenate([d, fill], 0)
+        d_raw = jnp.concatenate([d_raw, fill], 0)
+    return o, d, d_raw, n, tile, (n + pad) // tile
+
+
+def bench_forward(scene, cfg, repeats=5):
+    """Primary rays/sec through the full integrator, whole 1080p frame.
+
+    Every repeat renders EVERY tile of the frame through the single jitted
+    per-tile program render_image dispatches, so the number is the honest
+    full-frame throughput (dragon-covering center tiles and wall-only edge
+    tiles both included at their true frequency).
+    """
+    from dod_raytracer_tpu.render import _render_tile_jit
+
+    o, d, d_raw, n, tile, num_tiles = _frame_tiles(cfg)
     # warmup tile 0: compile + first run
     img = _render_tile_jit(scene, o[:tile], d[:tile], d_raw[:tile], cfg)
     img.block_until_ready()
@@ -88,26 +103,29 @@ def bench_forward(scene, cfg, repeats=3, sample_tiles=4):
     for _ in range(repeats):
         t0 = time.perf_counter()
         outs = []
-        for i in range(k):
+        for i in range(num_tiles):
             sl = slice(i * tile, (i + 1) * tile)
             outs.append(_render_tile_jit(scene, o[sl], d[sl], d_raw[sl], cfg))
+            # cap in-flight executions: the axon runtime stalls with a long
+            # unblocked dispatch queue (127 in flight hangs; <=8 is safe)
+            if len(outs) >= 8:
+                jax.block_until_ready(outs)
+                del outs[:-1]
         jax.block_until_ready(outs)
         times.append(time.perf_counter() - t0)
     t = float(np.median(times))
+    spread = (max(times) - min(times)) / t
     assert not bool(jnp.isnan(outs[0]).any()), "NaNs in benchmark render"
-    return (k * tile) / t, t
+    return n / t, t, spread
 
 
 def bench_grad(scene, cfg, repeats=3):
-    """Forward+backward throughput: per-tile grad accumulation dispatched
-    from the host (one compile; same structure as render_image)."""
-    from dod_raytracer_tpu.camera import primary_rays
+    """Forward+backward throughput over the full frame: per-tile grad
+    accumulation dispatched from the host (one compile; same structure as
+    train.fit's render-loss step)."""
     from dod_raytracer_tpu.render import render_rays
 
-    o, d, d_raw = primary_rays(cfg.Width, cfg.Height)
-    n = o.shape[0]
-    tile = min(cfg.ray_tile, n)
-    k = min(4, n // tile)  # sample tiles (same executable per tile; see bench_forward)
+    o, d, d_raw, n, tile, num_tiles = _frame_tiles(cfg)
 
     @jax.jit
     def tile_grad(verts, ot, dt, rt):
@@ -120,7 +138,7 @@ def bench_grad(scene, cfg, repeats=3):
     def full():
         total = 0.0
         g_acc = None
-        for i in range(k):
+        for i in range(num_tiles):
             sl = slice(i * tile, (i + 1) * tile)
             val, g = tile_grad(scene.triangles.verts, o[sl], d[sl], d_raw[sl])
             total += val
@@ -136,8 +154,9 @@ def bench_grad(scene, cfg, repeats=3):
         g.block_until_ready()
         times.append(time.perf_counter() - t0)
     t = float(np.median(times))
+    spread = (max(times) - min(times)) / t
     assert bool(jnp.isfinite(val)), val
-    return (k * tile) / t, t
+    return n / t, t, spread
 
 
 def main():
@@ -145,19 +164,23 @@ def main():
     grad = "--grad" in sys.argv
     scene, cfg = build_flagship(small)
     if grad:
-        rays_s, sec = bench_grad(scene, cfg)
+        rays_s, sec, spread = bench_grad(scene, cfg)
         metric = "primary_rays_per_sec_fwd_bwd"
+        base = BASELINE_RAYS_PER_SEC_GRAD
     else:
-        rays_s, sec = bench_forward(scene, cfg)
+        rays_s, sec, spread = bench_forward(scene, cfg)
         metric = "primary_rays_per_sec_fwd"
+        base = BASELINE_RAYS_PER_SEC
     if small:
         metric += "_teapot512"
-    vs = rays_s / BASELINE_RAYS_PER_SEC if BASELINE_RAYS_PER_SEC else 1.0
+    vs = rays_s / base if base else 1.0
     print(json.dumps({
         "metric": metric,
         "value": round(rays_s, 1),
         "unit": "rays/s",
         "vs_baseline": round(vs, 3),
+        "frame_seconds": round(sec, 4),
+        "rep_spread": round(spread, 3),
     }))
 
 

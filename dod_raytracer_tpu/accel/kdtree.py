@@ -40,6 +40,21 @@ def build_kdtree(tri_verts: np.ndarray, cfg) -> KDArrays:
             empty_bonus=float(cfg.EmptyBonus),
         )
 
+    # build stats — the one observability output the reference prints
+    # (lane duplication count, triangle.cpp:356; node walk printfs,
+    # kdtree.cpp:255-257), as structured logging (SURVEY.md §5)
+    num_lanes_in = (tri_verts.shape[0] + cfg.lane_size - 1) // cfg.lane_size
+    from ..utils.profiling import logger
+
+    logger.info(
+        "kd build: %d tris, %d nodes (%d leaves), depth %d, "
+        "%d reordered lanes (dup ratio %.3f)",
+        tri_verts.shape[0], built.node_flag.shape[0],
+        int((built.node_flag == _kdtree_np.LEAF_FLAG).sum()), built.max_depth,
+        built.prim_nums.shape[0],
+        built.prim_nums.shape[0] / max(num_lanes_in, 1),
+    )
+
     built = _kdtree_np.align_leaves(built, cfg.leaf_chunk_lanes)
     perm = _kdtree_np.perm_from_prim_nums(built.prim_nums, tri_verts.shape[0], cfg.lane_size)
     block = cfg.leaf_chunk_lanes * cfg.lane_size

@@ -41,7 +41,7 @@ def main(argv=None):
     from .io import write_png
     from .render import quantize_u8, render_image
     from .scene import default_scene
-    from .utils.profiling import phase
+    from .utils.profiling import log_render_stats, phase
 
     overrides = {}
     if args.width:
@@ -69,6 +69,7 @@ def main(argv=None):
     with phase("png_write"):
         write_png(args.output, quantize_u8(img))
     rays = cfg.Width * cfg.Height
+    log_render_stats(rays, dt)
     print(f"rendered {cfg.Width}x{cfg.Height} in {dt:.3f}s "
           f"({rays / dt / 1e6:.2f} Mprimary-rays/s) -> {args.output}")
     return 0

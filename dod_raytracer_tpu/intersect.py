@@ -18,13 +18,12 @@ from .ops import cylinder as cyl_ops
 from .ops import plane as plane_ops
 from .ops import sphere as sphere_ops
 from .ops import triangle as tri_ops
-from .ops.ray import INF, FamilyHit, Hit, closer
+from .ops.ray import INF, FamilyHit, Hit, closer, miss_like
 
 
 def _triangles_closest(scene, o, d, t_max, cfg) -> FamilyHit:
     if scene.n_triangles == 0:
-        n = o.shape[0]
-        return FamilyHit(t=jnp.full((n,), INF), normal=jnp.zeros((n, 3)), color=jnp.zeros((n, 3)))
+        return miss_like(o.shape[0])
     axis = getattr(cfg, "tri_shard_axis", "")
     if axis:
         from .parallel.leaf_shard import sharded_triangles_closest

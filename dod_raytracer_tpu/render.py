@@ -122,8 +122,6 @@ class _FrozenConfig:
         for k, v in self._items:
             if k == name:
                 return v
-        if name == "Ratio":
-            return float(self.Width) / float(self.Height)
         raise AttributeError(name)
 
     @property

@@ -1,4 +1,4 @@
-"""Tests for the debug/verification harness and multihost helpers."""
+"""Tests for the debug/verification harness (compare_hits, checked, assert_finite_tree)."""
 
 import jax
 import jax.numpy as jnp
