@@ -258,39 +258,66 @@ def cut_treelets(built: BuiltKD, cap: int):
     Nodes are emitted in preorder (``recurse`` appends parent, then the
     whole left subtree, then the right), so subtree(i) = [i, i+size(i)) is
     contiguous and a treelet is a plain slice.  Interior nodes *above* the
-    cuts are discarded: the traversal replaces them with a per-treelet
-    AABB slab test (every leaf lives in exactly one treelet, and the
-    union of treelet boxes is the root box, so coverage is exact).
+    cuts become the compact "top tree" (``build_top_table``) whose leaves
+    are the treelet roots; the two-level walk carries the exact intervals
+    the single-tree walk would have used.
 
-    Returns (roots (T,) i64, sizes (T,) i64, bounds (T, 6) f32) with
-    bounds the split-derived box of each treelet root (the exact interval
-    the single-tree walk would have used at that node).
+    Returns (roots (T,) i64, sizes (T,) i64) in preorder (= ascending
+    node-index) order.
     """
     M = built.node_flag.shape[0]
     size = np.ones(M, np.int64)
     for i in range(M - 1, -1, -1):  # reverse preorder: children first
         if built.node_flag[i] != LEAF_FLAG:
             size[i] = 1 + size[i + 1] + size[built.node_right[i]]
-    roots, sizes, bounds = [], [], []
-    stack = [(0, built.bounds_min.astype(np.float64),
-              built.bounds_max.astype(np.float64))]
+    roots, sizes = [], []
+    stack = [0]
     while stack:
-        i, bmin, bmax = stack.pop()
+        i = stack.pop()
         if size[i] <= cap:
             roots.append(i)
             sizes.append(int(size[i]))
-            bounds.append(np.concatenate([bmin, bmax]).astype(np.float32))
             continue
-        ax = int(built.node_flag[i])
-        sp = float(built.node_split[i])
-        lmax = bmax.copy()
-        lmax[ax] = sp
-        rmin = bmin.copy()
-        rmin[ax] = sp
-        stack.append((int(built.node_right[i]), rmin, bmax))
-        stack.append((i + 1, bmin, lmax))
-    return (np.asarray(roots, np.int64), np.asarray(sizes, np.int64),
-            np.stack(bounds, axis=0))
+        stack.append(int(built.node_right[i]))
+        stack.append(i + 1)
+    return np.asarray(roots, np.int64), np.asarray(sizes, np.int64)
+
+
+TOP_LEAF_FLAG = 4  # top-table row that refers to a treelet ("super-leaf")
+
+
+def build_top_table(built: BuiltKD, roots: np.ndarray) -> np.ndarray:
+    """Compact preorder table of the interior nodes ABOVE the treelet cuts,
+    with each cut root replaced by a super-leaf row pointing at its treelet.
+
+    Row layout (matches pack_nodes_mega column order where applicable):
+      [flag | split | right_top | tre_id | 0...]   (Ttop_pad, 128) f32
+    flag 0/1/2 = split axis (interior), TOP_LEAF_FLAG = super-leaf whose
+    col-3 is the treelet index into the (T, cap, 128) treelet tables.
+    Preorder is preserved under restriction to top nodes, so the left
+    child is still ``row + 1`` and only the right link needs rebasing.
+    """
+    root_to_tre = {int(r): t for t, r in enumerate(np.asarray(roots))}
+    rows: list = []
+
+    def rec(i: int) -> int:
+        my = len(rows)
+        tre = root_to_tre.get(i)
+        if tre is not None:
+            rows.append([float(TOP_LEAF_FLAG), 0.0, 0.0, float(tre)])
+            return my
+        rows.append([float(built.node_flag[i]), float(built.node_split[i]),
+                     0.0, 0.0])
+        rec(i + 1)
+        rows[my][2] = float(rec(int(built.node_right[i])))
+        return my
+
+    rec(0)
+    tbl = np.asarray(rows, np.float32)
+    tpad = max(128, -(-tbl.shape[0] // 128) * 128)
+    out = np.zeros((tpad, 128), np.float32)
+    out[: tbl.shape[0], : tbl.shape[1]] = tbl
+    return out
 
 
 def pack_treelet_tables(built: BuiltKD, roots, sizes, block_lanes: int,

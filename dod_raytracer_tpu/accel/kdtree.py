@@ -59,20 +59,21 @@ def build_kdtree(tri_verts: np.ndarray, cfg) -> KDArrays:
     perm = _kdtree_np.perm_from_prim_nums(built.prim_nums, tri_verts.shape[0], cfg.lane_size)
     block = cfg.leaf_chunk_lanes * cfg.lane_size
 
-    # treelet forest for the Pallas megakernel when the tree exceeds one
-    # VMEM-resident table (ops/pallas/traverse_kernel.py MAX_NODES)
-    tre_tbl = tre_bounds = None
+    # treelet forest for the Pallas forest megakernel when the tree exceeds
+    # one VMEM-resident table (ops/pallas/traverse_kernel.py MAX_NODES)
+    tre_tbl = top_tbl = None
     from ..ops.pallas.traverse_kernel import MAX_NODES
 
-    if built.node_flag.shape[0] > MAX_NODES:
-        roots, sizes, bounds6 = _kdtree_np.cut_treelets(built, MAX_NODES)
+    cap = int(getattr(cfg, "treelet_cap", 0)) or MAX_NODES
+    if built.node_flag.shape[0] > cap:
+        roots, sizes = _kdtree_np.cut_treelets(built, cap)
         tre_tbl = jnp.asarray(_kdtree_np.pack_treelet_tables(
-            built, roots, sizes, cfg.leaf_chunk_lanes, MAX_NODES))
-        tre_bounds = jnp.asarray(np.pad(bounds6, ((0, 0), (0, 2))))
+            built, roots, sizes, cfg.leaf_chunk_lanes, cap))
+        top_tbl = jnp.asarray(_kdtree_np.build_top_table(built, roots))
 
     kd = KDArrays(
         tre_tbl=tre_tbl,
-        tre_bounds=tre_bounds,
+        top_tbl=top_tbl,
         node_flag=jnp.asarray(built.node_flag),
         node_split=jnp.asarray(built.node_split),
         node_right=jnp.asarray(built.node_right),

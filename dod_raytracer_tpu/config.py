@@ -36,8 +36,10 @@ class Config:
     use_kdtree: bool = True
     triangle_backend: str = "jnp"  # brute-force path: 'jnp' | 'pallas' | 'plucker'
     # kd traversal backend: 'auto' resolves to the Pallas megakernel on TPU
-    # when the node table fits a ray tile, else the XLA wavefront loop
-    traversal_backend: str = "auto"  # 'auto' | 'xla' | 'binned' | 'mega'
+    # when the node table fits a ray tile, else the XLA wavefront loop;
+    # 'mega' on a big tree resolves to the treelet-forest kernel
+    traversal_backend: str = "auto"  # 'auto' | 'xla' | 'binned' | 'mega' | 'forest'
+    treelet_cap: int = 0  # forest treelet node cap (0 = kernel MAX_NODES); 128-multiple
     tri_shard_axis: str = ""  # mesh axis name when triangles are leaf-sharded
     replicate_reference_bugs: bool = False  # e.g. cylinder hit color dropped
 

@@ -433,12 +433,58 @@ def _backend(kd, cfg):
         from .pallas.mt_kernel import on_tpu
 
         be = "mega" if on_tpu() else "xla"
-    if be == "mega":
+    if be in ("mega", "forest"):
         from .pallas.traverse_kernel import MAX_NODES
 
-        if kd.node_flag.shape[0] > MAX_NODES or kd.block_g is None:
-            return "xla"  # tree too big for the resident-table kernel
+        if kd.block_g is None:
+            return "xla"
+        big = kd.node_flag.shape[0] > MAX_NODES
+        if be == "forest" or big:
+            # tree too big for one resident table (or forest explicitly
+            # requested): the treelet-forest kernel — same semantics,
+            # VMEM-windowed tables
+            if kd.tre_tbl is not None and kd.top_tbl is not None:
+                return "forest"
+            return "xla" if big else "mega"
+        return "mega"
     return be
+
+
+def _traverse_forest(kd, o, d, t_max, cfg, any_hit: bool):
+    """Treelet-forest Pallas megakernel (forest_kernel.py) — big trees:
+    VMEM-resident top table + per-tile DMA'd treelet tables."""
+    from .pallas.forest_kernel import TILE, forest_traverse
+    from .pallas.mt_kernel import on_tpu
+    from .pallas.plucker_kernel import swizzle_rays_plucker
+
+    n0 = o.shape[0]
+    pad = (-n0) % TILE
+    if pad:
+        fill = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], o.dtype), (pad, 1))
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d = jnp.concatenate([d, fill])
+        t_max = jnp.concatenate([t_max, jnp.full((pad,), -1.0, t_max.dtype)])
+    n = o.shape[0]
+
+    inv_d = 1.0 / d
+    root_hit, tmin0, tmax0 = slab_test(kd.bounds_min, kd.bounds_max, o, inv_d, t_max)
+    active0 = root_hit & ~(tmin0 > t_max)
+
+    pad4 = lambda v: jnp.concatenate([v, jnp.zeros((n, 1), v.dtype)], axis=1)
+    rays, _ = swizzle_rays_plucker(o, d, TILE)
+    spad = kd.block_g.shape[2] // 5
+    orig = kd.block_orig
+    if orig.shape[1] != spad:
+        orig = jnp.pad(orig, ((0, 0), (0, spad - orig.shape[1])), constant_values=-1)
+
+    t_best, prim, found = forest_traverse(
+        kd.top_tbl, kd.tre_tbl, pad4(o), pad4(d), pad4(inv_d), tmin0[:, None],
+        jnp.stack([tmax0, t_max.astype(jnp.float32)], axis=1),
+        active0[:, None].astype(jnp.int32), rays,
+        kd.block_g, orig[:, None, :],
+        block_lanes=kd.block_lanes, stack_depth=_stack_depth(kd, cfg),
+        any_hit=any_hit, interpret=not on_tpu())
+    return t_best[:n0, 0], prim[:n0, 0], found[:n0, 0].astype(bool)
 
 
 def kd_closest(kd, triangles, o, d, t_max, cfg):
@@ -456,6 +502,8 @@ def kd_closest(kd, triangles, o, d, t_max, cfg):
         t_best, prim, found = _traverse_binned(kd, o_s, d_s, t_s, cfg, any_hit=False)
     elif be == "mega":
         t_best, prim, found = _traverse_mega(kd, o_s, d_s, t_s, cfg, any_hit=False)
+    elif be == "forest":
+        t_best, prim, found = _traverse_forest(kd, o_s, d_s, t_s, cfg, any_hit=False)
     else:
         t_best, prim, found = _traverse(kd, verts, o_s, d_s, t_s, cfg, any_hit=False)
     return t_best, jnp.maximum(prim, 0), found & (t_best < t_s)
@@ -472,6 +520,8 @@ def kd_any(kd, triangles, o, d, t_max, cfg):
         _, _, found = _traverse_binned(kd, o_s, d_s, t_s, cfg, any_hit=True)
     elif be == "mega":
         _, _, found = _traverse_mega(kd, o_s, d_s, t_s, cfg, any_hit=True)
+    elif be == "forest":
+        _, _, found = _traverse_forest(kd, o_s, d_s, t_s, cfg, any_hit=True)
     else:
         _, _, found = _traverse(kd, verts, o_s, d_s, t_s, cfg, any_hit=True)
     return found

@@ -107,11 +107,12 @@ class KDArrays:
     # per-block Plücker matrices for the block-loop Pallas leaf kernel
     block_g: Optional[jnp.ndarray] = None  # (B, 16, 5*Spad) f32
     # treelet forest (trees too big for one VMEM-resident table): preorder
-    # subtree cuts of <= MAX_NODES nodes with treelet-local child links and
-    # the split-derived AABB of each treelet root (accel/_kdtree_np.py
-    # cut_treelets / pack_treelet_tables)
+    # subtree cuts of <= MAX_NODES nodes with treelet-local child links,
+    # plus the compact top tree whose super-leaves index the treelets
+    # (accel/_kdtree_np.py cut_treelets / pack_treelet_tables /
+    # build_top_table; consumed by ops/pallas/forest_kernel.py)
     tre_tbl: Optional[jnp.ndarray] = None  # (T, cap, 128) f32
-    tre_bounds: Optional[jnp.ndarray] = None  # (T, 8) f32 [min|max|pad]
+    top_tbl: Optional[jnp.ndarray] = None  # (Ttop_pad, 128) f32
     lane_size: int = struct.field(pytree_node=False, default=8)
     num_lanes: int = struct.field(pytree_node=False, default=0)  # reordered lane count K
     max_leaf_lanes: int = struct.field(pytree_node=False, default=0)

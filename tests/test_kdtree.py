@@ -231,3 +231,128 @@ def test_render_kd_equals_brute(teapot):
     img_kd = np.asarray(render_image(s_kd, cfg_kd))
     img_bf = np.asarray(render_image(s_bf, cfg_bf))
     np.testing.assert_allclose(img_kd, img_bf, atol=1e-5)
+
+
+class TestForestTraversal:
+    """The treelet-forest Pallas kernel (big trees: VMEM-windowed treelet
+    tables + compact top tree) must agree exactly with the gather traversal
+    — the two-level walk preserves visit order, t_max tightening and
+    strict-min tie-breaks via the LIFO subtree property."""
+
+    @pytest.fixture(scope="class")
+    def forest_scene(self, teapot):
+        # treelet_cap=128 forces a real forest out of the ~300-node teapot
+        # tree (several treelets + a non-trivial top tree), exercising the
+        # same code path the dragon takes at MAX_NODES
+        cfg = Config(use_kdtree=True, treelet_cap=128,
+                     traversal_backend="forest")
+        b = SceneBuilder()
+        b.add_mesh(*teapot)
+        b.add_light((0, 3, -3), 3.0)
+        scene = b.build(cfg)
+        assert scene.kd.tre_tbl is not None and scene.kd.tre_tbl.shape[0] > 1
+        assert scene.kd.top_tbl is not None
+        return scene, cfg
+
+    @pytest.fixture(scope="class")
+    def gather_cfg(self):
+        return Config(use_kdtree=True, treelet_cap=128,
+                      traversal_backend="xla")
+
+    def test_closest_matches_gather(self, forest_scene, gather_cfg):
+        scene, cfg = forest_scene
+        o, d = random_rays(512, seed=3)
+        t_max = jnp.full((512,), jnp.inf)
+        t_g, prim_g, hit_g = kd_closest(scene.kd, scene.triangles, o, d, t_max, gather_cfg)
+        t_f, prim_f, hit_f = kd_closest(scene.kd, scene.triangles, o, d, t_max, cfg)
+        np.testing.assert_array_equal(np.asarray(hit_f), np.asarray(hit_g))
+        h = np.asarray(hit_g)
+        # Plücker t differs from Möller–Trumbore t only by float reassociation
+        np.testing.assert_allclose(np.asarray(t_f)[h], np.asarray(t_g)[h], rtol=1e-3)
+        np.testing.assert_array_equal(np.asarray(prim_f)[h], np.asarray(prim_g)[h])
+
+    def test_clipped_t_max(self, forest_scene, gather_cfg):
+        scene, cfg = forest_scene
+        o, d = random_rays(256, seed=4)
+        t_max = jnp.full((256,), 4.0)
+        t_g, _, hit_g = kd_closest(scene.kd, scene.triangles, o, d, t_max, gather_cfg)
+        t_f, _, hit_f = kd_closest(scene.kd, scene.triangles, o, d, t_max, cfg)
+        np.testing.assert_array_equal(np.asarray(hit_f), np.asarray(hit_g))
+        h = np.asarray(hit_g)
+        np.testing.assert_allclose(np.asarray(t_f)[h], np.asarray(t_g)[h], rtol=1e-3)
+
+    def test_any_hit_matches_gather(self, forest_scene, gather_cfg):
+        scene, cfg = forest_scene
+        o, d = random_rays(512, seed=5)
+        t_max = jnp.full((512,), 5.0)
+        a_g = kd_any(scene.kd, scene.triangles, o, d, t_max, gather_cfg)
+        a_f = kd_any(scene.kd, scene.triangles, o, d, t_max, cfg)
+        np.testing.assert_array_equal(np.asarray(a_f), np.asarray(a_g))
+
+    def test_rays_from_inside(self, forest_scene, gather_cfg):
+        scene, cfg = forest_scene
+        o, d = random_rays(256, seed=6, spread=1.5)
+        t_max = jnp.full((256,), jnp.inf)
+        _, prim_g, hit_g = kd_closest(scene.kd, scene.triangles, o, d, t_max, gather_cfg)
+        _, prim_f, hit_f = kd_closest(scene.kd, scene.triangles, o, d, t_max, cfg)
+        np.testing.assert_array_equal(np.asarray(hit_f), np.asarray(hit_g))
+        h = np.asarray(hit_g)
+        np.testing.assert_array_equal(np.asarray(prim_f)[h], np.asarray(prim_g)[h])
+
+    def test_top_table_structure(self, teapot):
+        from dod_raytracer_tpu.accel._kdtree_np import (
+            TOP_LEAF_FLAG, build, align_leaves, build_top_table, cut_treelets)
+
+        tv, _ = teapot
+        built = align_leaves(build(tv), 8)
+        roots, sizes = cut_treelets(built, 128)
+        assert (sizes <= 128).all()
+        top = build_top_table(built, roots)
+        flags = top[:, 0]
+        n_super = int((flags == TOP_LEAF_FLAG).sum())
+        assert n_super == len(roots)
+        # treelets + the top interiors partition the node array exactly
+        assert sizes.sum() + (n_super - 1) == built.node_flag.shape[0]
+        # a binary top tree over T super-leaves has T-1 interiors;
+        # padding rows are zero (axis-0 interior) but unreachable
+        n_top_rows = n_super + (n_super - 1)
+        interior = flags[:n_top_rows] != TOP_LEAF_FLAG
+        # right links point forward within the top table
+        ri = top[:n_top_rows, 2][interior].astype(np.int64)
+        assert (ri > np.nonzero(interior)[0]).all() and (ri < n_top_rows).all()
+        # super-leaf treelet ids are a permutation of range(T)
+        tre_ids = np.sort(top[:n_top_rows, 3][~interior].astype(np.int64))
+        np.testing.assert_array_equal(tre_ids, np.arange(len(roots)))
+
+
+def test_forest_matches_gather_at_scale():
+    """Dragon-shaped mesh big enough to overflow MAX_NODES (the real
+    production cut): forest backend must agree exactly with the gather
+    walk, closest and any-hit (VERDICT r1 item 1)."""
+    from dod_raytracer_tpu.mesh import procedural_dragon
+    from dod_raytracer_tpu.ops.traverse import _backend
+
+    tv, tn = procedural_dragon(num_tris=40000)
+    cfg_f = Config(use_kdtree=True, MaxPrims=32, leaf_chunk_lanes=32,
+                   traversal_backend="forest")
+    cfg_x = Config(use_kdtree=True, MaxPrims=32, leaf_chunk_lanes=32,
+                   traversal_backend="xla")
+    b = SceneBuilder()
+    b.add_mesh(tv, tn)
+    b.add_light((0, 3, -3), 3.0)
+    scene = b.build(cfg_f)
+    assert scene.kd.node_flag.shape[0] > 1024  # genuinely past the mega gate
+    assert _backend(scene.kd, cfg_f) == "forest"
+
+    o, d = random_rays(256, seed=3)
+    t_max = jnp.full((256,), jnp.inf)
+    t_g, p_g, h_g = kd_closest(scene.kd, scene.triangles, o, d, t_max, cfg_x)
+    t_f, p_f, h_f = kd_closest(scene.kd, scene.triangles, o, d, t_max, cfg_f)
+    np.testing.assert_array_equal(np.asarray(h_f), np.asarray(h_g))
+    h = np.asarray(h_g)
+    assert h.sum() > 0
+    np.testing.assert_allclose(np.asarray(t_f)[h], np.asarray(t_g)[h], rtol=1e-3)
+    np.testing.assert_array_equal(np.asarray(p_f)[h], np.asarray(p_g)[h])
+    a_g = kd_any(scene.kd, scene.triangles, o, d, jnp.full((256,), 5.0), cfg_x)
+    a_f = kd_any(scene.kd, scene.triangles, o, d, jnp.full((256,), 5.0), cfg_f)
+    np.testing.assert_array_equal(np.asarray(a_f), np.asarray(a_g))
