@@ -37,7 +37,7 @@ def render_rays(scene, o, d, pixel_dirs, cfg: Config) -> jnp.ndarray:
     """Trace a wavefront of rays to final linear RGB colors (N, 3)."""
     n = o.shape[0]
 
-    def bounce(carry, k):
+    def live_bounce(carry, k):
         o, d, final, active = carry
         # dead rays get t_max=-1: the root slab test rejects them instantly,
         # so the lockstep traversal loops run only as long as live rays need
@@ -53,7 +53,17 @@ def render_rays(scene, o, d, pixel_dirs, cfg: Config) -> jnp.ndarray:
         o_new = hit.point + d_new * cfg.Epsilon  # main.cpp:333
         o = jnp.where(active[:, None], o_new, o)
         d = jnp.where(active[:, None], d_new, d)
-        return (o, d, final, active), None
+        return (o, d, final, active)
+
+    def bounce(carry, k):
+        # skip the whole round once every ray in the (shard of the) tile
+        # has terminated — the first-miss break of main.cpp:322-325 lifted
+        # to the wavefront; a dead round is an exact identity since every
+        # update above is masked by ``active``.  lax.cond (not while_loop)
+        # keeps the integrator reverse-mode differentiable.
+        return jax.lax.cond(
+            jnp.any(carry[3]), lambda c: live_bounce(c, k), lambda c: c, carry
+        ), None
 
     # derive carry init from the (possibly shard_map-varying) ray arrays so
     # the scan carry has consistent varying-manual-axes under shard_map
