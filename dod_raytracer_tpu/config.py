@@ -40,6 +40,10 @@ class Config:
     # 'mega' on a big tree resolves to the treelet-forest kernel
     traversal_backend: str = "auto"  # 'auto' | 'xla' | 'binned' | 'mega' | 'forest'
     treelet_cap: int = 0  # forest treelet node cap (0 = kernel MAX_NODES); 128-multiple
+    # small-mesh crossover: meshes with <= this many triangles bypass the
+    # kd walk for the batched brute-force intersector (0 = always use the
+    # tree when built); threshold measured by scripts/tpu_sweep.py
+    brute_threshold: int = 0
     tri_shard_axis: str = ""  # mesh axis name when triangles are leaf-sharded
     replicate_reference_bugs: bool = False  # e.g. cylinder hit color dropped
 

@@ -21,6 +21,17 @@ from .ops import triangle as tri_ops
 from .ops.ray import INF, FamilyHit, Hit, closer, miss_like
 
 
+def _prefer_brute(scene, cfg) -> bool:
+    """Small-mesh crossover (SURVEY.md §7 hard part 4): below a triangle
+    count threshold the batched brute-force test beats the serial
+    descend of the tree walk outright (measured on v5e: unclipped teapot
+    at 6.3k tris runs >600x faster brute through the MXU than through
+    the kd walk — BASELINE.md).  The kd-tree still gets BUILT for such
+    scenes; the query path just bypasses it."""
+    thr = int(getattr(cfg, "brute_threshold", 0))
+    return 0 < scene.n_triangles <= thr
+
+
 def _triangles_closest(scene, o, d, t_max, cfg) -> FamilyHit:
     if scene.n_triangles == 0:
         return miss_like(o.shape[0])
@@ -29,7 +40,7 @@ def _triangles_closest(scene, o, d, t_max, cfg) -> FamilyHit:
         from .parallel.leaf_shard import sharded_triangles_closest
 
         return sharded_triangles_closest(scene, o, d, t_max, cfg, axis)
-    if scene.kd is not None:
+    if scene.kd is not None and not _prefer_brute(scene, cfg):
         from .ops.traverse import kd_closest
 
         t_best, idx, hit = kd_closest(scene.kd, scene.triangles, o, d, t_max, cfg)
@@ -62,7 +73,7 @@ def _triangles_occluded(scene, o, d, t_max, cfg) -> jnp.ndarray:
         from .parallel.leaf_shard import sharded_triangles_occluded
 
         return sharded_triangles_occluded(scene, o, d, t_max, cfg, axis)
-    if scene.kd is not None:
+    if scene.kd is not None and not _prefer_brute(scene, cfg):
         from .ops.traverse import kd_any
 
         return kd_any(scene.kd, scene.triangles, o, d, t_max, cfg)

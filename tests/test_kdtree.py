@@ -356,3 +356,26 @@ def test_forest_matches_gather_at_scale():
     a_g = kd_any(scene.kd, scene.triangles, o, d, jnp.full((256,), 5.0), cfg_x)
     a_f = kd_any(scene.kd, scene.triangles, o, d, jnp.full((256,), 5.0), cfg_f)
     np.testing.assert_array_equal(np.asarray(a_f), np.asarray(a_g))
+
+
+def test_brute_threshold_crossover_exact(teapot):
+    """brute_threshold reroutes small meshes around the kd walk; the jnp
+    brute intersector shares the MT formula so renders stay bit-exact."""
+    from dod_raytracer_tpu import render_image
+
+    tv, tn = teapot
+
+    def build_scene(thr):
+        cfg = Config(Width=48, Height=32, use_kdtree=True, ray_tile=2048,
+                     brute_threshold=thr)
+        b = SceneBuilder()
+        b.add_mesh(tv, tn)
+        b.add_plane((0.0, 0.0, 5.0), (0.0, 0.0, -1.0), (0.2, 0.4, 0.6))
+        b.add_light((0.0, 0.0, -2.0), 3.0)
+        return b.build(cfg), cfg
+
+    s_kd, cfg_kd = build_scene(0)
+    s_bt, cfg_bt = build_scene(10_000)  # teapot (6,320 tris) under threshold
+    img_kd = np.asarray(render_image(s_kd, cfg_kd))
+    img_bt = np.asarray(render_image(s_bt, cfg_bt))
+    np.testing.assert_allclose(img_kd, img_bt, atol=1e-6)
