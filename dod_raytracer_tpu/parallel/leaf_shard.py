@@ -2,17 +2,22 @@
 axis (the model-parallel analogue from SURVEY.md §5 / BASELINE: "scene
 replicated or leaf-sharded in HBM").
 
-Host side, the triangle soup is split into ``ndev`` contiguous shards and
-an independent kd-tree is built per shard; all per-shard arrays are padded
-to a common size and stacked with a leading device axis.  Inside
-``shard_map`` each device traverses only its local shard; the winning hit
-is combined across the axis with a pmin on t (ties broken by the lowest
-global triangle index — identical to the unsharded first-win order since
-shards are contiguous), and hit attributes are psum'd from the owning
-device.
+Host side, the triangle soup is Morton-ordered by centroid (a Z-curve
+spatial sort) and split into ``ndev`` equal contiguous shards, so each
+shard covers a compact region of space instead of an arbitrary index
+range — per-shard kd root boxes overlap minimally and most rays
+slab-reject all but one or two shards.  An independent kd-tree is built
+per shard with the SAME production layout as the monolithic build
+(aligned leaves + pre-packed triangle blocks), padded to a common size
+and stacked with a leading device axis.  Inside ``shard_map`` each device
+traverses only its local shard; the winning hit is combined across the
+axis with a pmin on t (ties broken by the lowest stacked triangle index),
+and hit attributes are psum'd from the owning device.
 
 Composes with ray data-parallelism on a 2D ('dp', 'mp') mesh: rays
-sharded over 'dp', triangles over 'mp', everything else replicated.
+sharded over 'dp', triangles over 'mp', everything else replicated —
+``make_train_step_2d`` runs the full inverse-rendering step with vertex
+gradients living sharded over 'mp' and loss/grad reduction over 'dp'.
 """
 
 from __future__ import annotations
@@ -36,15 +41,54 @@ _BIG_I32 = jnp.int32(2**31 - 1)
 # host-side build
 # --------------------------------------------------------------------------
 
+def _morton_order(tv: np.ndarray) -> np.ndarray:
+    """Z-curve order of triangle centroids (10 bits/axis): a spatial sort
+    whose equal contiguous chunks are compact regions of space."""
+    c = tv.mean(axis=1)
+    span = np.maximum(c.max(0) - c.min(0), 1e-30)
+    q = np.clip(((c - c.min(0)) / span * 1023.0), 0, 1023).astype(np.uint64)
+    code = np.zeros(c.shape[0], np.uint64)
+    for b in range(10):
+        for a in range(3):
+            code |= ((q[:, a] >> np.uint64(b)) & np.uint64(1)) << np.uint64(3 * b + a)
+    return np.argsort(code, kind="stable")
+
+
+def _blocks_for(v, orig):
+    """One shard's pre-packed leaf blocks from its (S,3,3) verts and
+    (B, block) original-id table (the monolithic refresh_kd_blocks math)."""
+    from ..ops.pallas.block_loop_kernel import pack_block_g
+
+    gv = jnp.where((orig >= 0)[..., None, None], v[jnp.maximum(orig, 0)], 0.0)
+    A = gv[..., 0, :]
+    rows = jnp.concatenate([A, gv[..., 1, :] - A, gv[..., 2, :] - A], axis=-1)
+    return rows, pack_block_g(gv)
+
+
+def refresh_kd_blocks_stacked(kd: KDArrays, verts_stacked) -> KDArrays:
+    """Re-materialize the per-shard leaf blocks after a vertex update
+    (stacked analogue of accel.kdtree.refresh_kd_blocks)."""
+    if kd.block_orig is None:
+        return kd
+    rows, g = jax.vmap(_blocks_for)(
+        jax.lax.stop_gradient(verts_stacked), kd.block_orig)
+    return kd.replace(block_tris=rows, block_g=g)
+
+
 def build_leaf_sharded_triangles(tv: np.ndarray, tn: np.ndarray, tm: np.ndarray,
                                  cfg, ndev: int):
-    """Split (T,3,3) triangle arrays into ndev shards with per-shard kd
-    trees, padded and stacked with a leading device axis.
+    """Morton-order the soup, split into ndev equal spatial shards, and
+    build an independent production-layout kd tree per shard (aligned
+    leaves + pre-packed triangle blocks — the same fast traversal path as
+    the monolithic build), padded and stacked with a leading device axis.
 
     Returns (triangles_stacked, kd_stacked, shard_size) where array leaves
     have shape (ndev, ...) ready for shard_map in_spec P(axis).
     """
-    from ..accel._kdtree_np import build, perm_from_prim_nums
+    from ..accel._kdtree_np import align_leaves, build, perm_from_prim_nums
+
+    order = _morton_order(tv)
+    tv, tn, tm = tv[order], tn[order], tm[order]
 
     T = tv.shape[0]
     shard = -(-T // ndev)
@@ -57,14 +101,17 @@ def build_leaf_sharded_triangles(tv: np.ndarray, tn: np.ndarray, tm: np.ndarray,
     builts = []
     for i in range(ndev):
         sl = slice(i * shard, (i + 1) * shard)
-        builts.append(build(tv[sl], lane_size=cfg.lane_size, max_prims=cfg.MaxPrims,
-                            intersect_cost=float(cfg.IntersectCost),
-                            traversal_cost=float(cfg.TraversalCost),
-                            empty_bonus=float(cfg.EmptyBonus)))
+        b = build(tv[sl], lane_size=cfg.lane_size, max_prims=cfg.MaxPrims,
+                  intersect_cost=float(cfg.IntersectCost),
+                  traversal_cost=float(cfg.TraversalCost),
+                  empty_bonus=float(cfg.EmptyBonus))
+        builts.append(align_leaves(b, cfg.leaf_chunk_lanes))
 
     max_nodes = max(b.node_flag.shape[0] for b in builts)
     max_prims = max(b.prim_nums.shape[0] for b in builts)
     max_leaf = max(b.max_leaf_lanes for b in builts)
+    block = cfg.leaf_chunk_lanes * cfg.lane_size
+    assert max_prims % cfg.leaf_chunk_lanes == 0  # align_leaves guarantees
 
     def pad_nodes(a, fill):
         out = np.full((max_nodes,), fill, a.dtype)
@@ -87,19 +134,30 @@ def build_leaf_sharded_triangles(tv: np.ndarray, tn: np.ndarray, tm: np.ndarray,
         perms.append(full)
     perm = np.stack(perms)
 
+    verts = jnp.asarray(tv.reshape(ndev, shard, 3, 3))
     tris = Triangles(
-        verts=jnp.asarray(tv.reshape(ndev, shard, 3, 3)),
+        verts=verts,
         normals=jnp.asarray(tn.reshape(ndev, shard, 3, 3)),
         mesh_id=jnp.asarray(tm.reshape(ndev, shard)),
     )
+
+    # pre-packed leaf blocks per shard (block-loop kernel + contiguous
+    # row-gather fast paths), vmapped over the shard axis
+    block_orig = jnp.asarray(perm).reshape(ndev, -1, block)
+    block_tris, block_g = jax.vmap(_blocks_for)(
+        jax.lax.stop_gradient(verts), block_orig)
+
     kd = KDArrays(
         node_flag=jnp.asarray(flag), node_split=jnp.asarray(split),
         node_right=jnp.asarray(right), node_leaf_start=jnp.asarray(leaf_start),
         node_leaf_lanes=jnp.asarray(leaf_lanes),
         bounds_min=jnp.asarray(bmin), bounds_max=jnp.asarray(bmax),
         tri_perm=jnp.asarray(perm),
+        block_orig=block_orig, block_tris=block_tris, block_g=block_g,
         lane_size=int(cfg.lane_size), num_lanes=int(max_prims),
         max_leaf_lanes=int(max_leaf),
+        block_lanes=int(cfg.leaf_chunk_lanes),
+        max_depth=int(max(b.max_depth for b in builts)),
     )
     return tris, kd, shard
 
@@ -171,6 +229,71 @@ def sharded_triangles_occluded(scene, o, d, t_max, cfg, axis: str) -> jnp.ndarra
 
     blocked = kd_any(scene.kd, scene.triangles, o, d, t_max, cfg)
     return jax.lax.psum(blocked.astype(jnp.int32), axis) > 0
+
+
+def make_train_step_2d(cfg, mesh: Mesh, dp_axis: str = "dp",
+                       mp_axis: str = "mp", lr: float = 0.1):
+    """Full inverse-rendering step on a 2D (dp, mp) mesh: rays + target
+    sharded over dp, triangle vertices + kd tables sharded over mp (the
+    tp-like axis), other scene tensors replicated.
+
+    Vertex gradients live SHARDED: each device backprops through its local
+    shard's hit recomputation (cotangents route through the pmin/psum hit
+    combine automatically) and the resulting per-shard grad is psum'd over
+    dp only — no all-gather of the vertex tensor ever happens, which is
+    the point of leaf sharding.  Returns step(scene, target_flat) ->
+    (loss, new_scene) with the updated verts still mp-sharded.
+    """
+    from ..camera import primary_rays
+    from ..render import render_rays, _FrozenConfig
+
+    frozen = _FrozenConfig.from_config(cfg)
+    assert frozen.tri_shard_axis == mp_axis
+    ndp = mesh.shape[dp_axis]
+
+    def _pad(x):
+        pad = (-x.shape[0]) % ndp
+        if pad:
+            x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+        return x
+
+    def make_specs(scene):
+        return scene_specs(scene, mp_axis)
+
+    @jax.jit
+    def step(scene, target_flat):
+        o, d, d_raw = primary_rays(frozen.Width, frozen.Height)
+        o, d, d_raw, target = _pad(o), _pad(d), _pad(d_raw), _pad(target_flat)
+        specs = make_specs(scene)
+        tri_spec = jax.tree_util.tree_map(lambda _: P(mp_axis), scene.triangles)
+
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(specs, P(dp_axis), P(dp_axis), P(dp_axis), P(dp_axis)),
+            out_specs=(P(), tri_spec),
+            check_rep=False,
+        )
+        def grad_shard(scene, o, d, d_raw, target):
+            local = local_scene(scene)
+
+            def loss_fn(verts):
+                s = local.replace(triangles=local.triangles.replace(verts=verts))
+                colors = render_rays(s, o, d, d_raw, frozen)
+                return jnp.sum((colors - target) ** 2) / (target.size * ndp)
+
+            loss, g = jax.value_and_grad(loss_fn)(local.triangles.verts)
+            loss = jax.lax.psum(loss, dp_axis)
+            g = jax.lax.psum(g, dp_axis)  # dp replicas of MY shard only
+            new_verts = local.triangles.verts - lr * g
+            tris_out = jax.tree_util.tree_map(
+                lambda x: x[None], local.triangles.replace(verts=new_verts))
+            return loss, tris_out
+
+        loss, tris = grad_shard(scene, o, d, d_raw, target)
+        kd = refresh_kd_blocks_stacked(scene.kd, tris.verts)
+        return loss, scene.replace(triangles=tris, kd=kd)
+
+    return step
 
 
 # --------------------------------------------------------------------------
