@@ -40,6 +40,7 @@ class Config:
     # 'mega' on a big tree resolves to the treelet-forest kernel
     traversal_backend: str = "auto"  # 'auto' | 'xla' | 'binned' | 'mega' | 'forest'
     treelet_cap: int = 0  # forest treelet node cap (0 = kernel MAX_NODES); 128-multiple
+    forest_tile: int = 0  # forest kernel rays/tile (0 = kernel TILE default)
     # small-mesh crossover: meshes with <= this many triangles bypass the
     # kd walk for the batched brute-force intersector (0 = always use the
     # tree when built); threshold measured by scripts/tpu_sweep.py

@@ -340,11 +340,12 @@ def _kernel(top_ref, o_ref, d_ref, invd_ref, tmin_ref, tmax_ref, act_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("block_lanes", "stack_depth",
-                                             "any_hit", "interpret"))
+                                             "any_hit", "interpret", "tile"))
 def forest_traverse(top_tbl, tre_tbl, o4, d4, invd4, tmin, tmax_clip, active,
                     rays, block_g, block_orig_p,
                     block_lanes: int, stack_depth: int,
-                    any_hit: bool = False, interpret: bool = False):
+                    any_hit: bool = False, interpret: bool = False,
+                    tile: int = TILE):
     """Full kd traversal through the treelet forest for N rays (N % TILE == 0).
 
     Args (all ray arrays padded to TILE multiples by the caller):
@@ -358,8 +359,8 @@ def forest_traverse(top_tbl, tre_tbl, o4, d4, invd4, tmin, tmax_clip, active,
     Returns (t_best (N,1), prim (N,1), found (N,1) i32).
     """
     n = o4.shape[0]
-    assert n % TILE == 0
-    grid = (n // TILE,)
+    assert n % tile == 0
+    grid = (n // tile,)
     B, K, SP5 = block_g.shape
     spad = SP5 // 5
     assert K == 16
@@ -374,21 +375,21 @@ def forest_traverse(top_tbl, tre_tbl, o4, d4, invd4, tmin, tmax_clip, active,
         grid=grid,
         in_specs=[
             pl.BlockSpec((tpad, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),   # tre_tbl in HBM
             pl.BlockSpec(memory_space=pltpu.ANY),   # block_g in HBM
             pl.BlockSpec(memory_space=pltpu.ANY),   # block_orig in HBM
         ],
         out_specs=[
-            pl.BlockSpec((TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n, 1), jnp.float32),

@@ -93,10 +93,12 @@ def _kernel(tbl_ref, o_ref, d_ref, invd_ref, tmin_ref, tmax_ref, act_ref,
         cols = jax.lax.broadcasted_iota(
             jnp.int32, (node.shape[0], tbl.shape[0]), 1)
         onehot = (cols == node).astype(jnp.float32)
-        # HIGHEST: default TPU f32 dot is one-pass bf16 — it rounds int-valued
-        # table columns (node ids need >8 mantissa bits) and corrupts indices
+        # HIGH (bf16x3): exact for a one-hot operand — the f32 table value
+        # splits exactly into three bf16 terms whose 1.0-weighted products
+        # reassemble in the f32 accumulator (24 mantissa bits); the default
+        # one-pass bf16 would round node ids.  Half the cost of HIGHEST.
         return jnp.dot(onehot, tbl, preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+                       precision=jax.lax.Precision.HIGH)
 
     def stack_set(st, sp, value, do):
         rows = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)

@@ -457,8 +457,9 @@ def _traverse_forest(kd, o, d, t_max, cfg, any_hit: bool):
     from .pallas.mt_kernel import on_tpu
     from .pallas.plucker_kernel import swizzle_rays_plucker
 
+    tile = int(getattr(cfg, "forest_tile", 0)) or TILE
     n0 = o.shape[0]
-    pad = (-n0) % TILE
+    pad = (-n0) % tile
     if pad:
         fill = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], o.dtype), (pad, 1))
         o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
@@ -471,7 +472,7 @@ def _traverse_forest(kd, o, d, t_max, cfg, any_hit: bool):
     active0 = root_hit & ~(tmin0 > t_max)
 
     pad4 = lambda v: jnp.concatenate([v, jnp.zeros((n, 1), v.dtype)], axis=1)
-    rays, _ = swizzle_rays_plucker(o, d, TILE)
+    rays, _ = swizzle_rays_plucker(o, d, tile)
     spad = kd.block_g.shape[2] // 5
     orig = kd.block_orig
     if orig.shape[1] != spad:
@@ -483,7 +484,7 @@ def _traverse_forest(kd, o, d, t_max, cfg, any_hit: bool):
         active0[:, None].astype(jnp.int32), rays,
         kd.block_g, orig[:, None, :],
         block_lanes=kd.block_lanes, stack_depth=_stack_depth(kd, cfg),
-        any_hit=any_hit, interpret=not on_tpu())
+        any_hit=any_hit, interpret=not on_tpu(), tile=tile)
     return t_best[:n0, 0], prim[:n0, 0], found[:n0, 0].astype(bool)
 
 

@@ -6,8 +6,15 @@ The TPU-native equivalent: a ``jax.sharding.Mesh`` over all chips, primary
 rays sharded along a ``'dp'`` axis (tiles of pixels instead of row blocks),
 scene tensors replicated in HBM (teapot ~0.5 MB, dragon ~60 MB — both fit
 replicated, SURVEY.md §5), and scene-parameter gradients all-reduced with
-``psum`` inside ``shard_map`` so XLA overlaps the collective with the
-remaining backward ray sweep.
+``psum`` inside ``shard_map``.
+
+Collective/compute overlap: the psums are emitted INSIDE the shard_map'd
+backward, per parameter, so XLA's latency-hiding scheduler is free to run
+each all-reduce concurrently with the remaining backward sweep — but this
+environment has a single physical chip, so the overlap cannot be profiled
+here and is NOT claimed as measured (BASELINE.md records this).  What is
+verified: sharded-vs-single numerical invariance (tests/test_sharding.py)
+and the full multi-device step executing on an 8-device mesh.
 
 Multi-host: the same code runs under ``jax.distributed.initialize`` — the
 mesh spans all processes' devices and shard_map only touches the local
