@@ -41,6 +41,9 @@ class Config:
     traversal_backend: str = "auto"  # 'auto' | 'xla' | 'binned' | 'mega' | 'forest'
     treelet_cap: int = 0  # forest treelet node cap (0 = kernel MAX_NODES); 128-multiple
     forest_tile: int = 0  # forest kernel rays/tile (0 = kernel TILE default)
+    # rematerialize each bounce in the backward pass (jax.checkpoint):
+    # trades a second forward sweep for not storing per-bounce residuals
+    remat_bounces: bool = False
     # small-mesh crossover: meshes with <= this many triangles bypass the
     # kd walk for the batched brute-force intersector (0 = always use the
     # tree when built); threshold measured by scripts/tpu_sweep.py

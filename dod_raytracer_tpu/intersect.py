@@ -41,9 +41,15 @@ def _triangles_closest(scene, o, d, t_max, cfg) -> FamilyHit:
 
         return sharded_triangles_closest(scene, o, d, t_max, cfg, axis)
     if scene.kd is not None and not _prefer_brute(scene, cfg):
+        from jax.ad_checkpoint import checkpoint_name
+
         from .ops.traverse import kd_closest
 
         t_best, idx, hit = kd_closest(scene.kd, scene.triangles, o, d, t_max, cfg)
+        # saved through remat_bounces so the backward re-derives shading
+        # from the SAME discrete winners instead of re-traversing
+        idx = checkpoint_name(idx, "traversal")
+        hit = checkpoint_name(hit, "traversal")
         return tri_ops.triangle_hit_attrs(scene.triangles, o, d, idx, hit, scene.mesh_colors)
     backend = getattr(cfg, "triangle_backend", "jnp")
     if backend in ("pallas", "plucker"):
@@ -103,7 +109,15 @@ def closest_hit(scene, o, d, cfg, t_max=None) -> Hit:
     mask = best.t < t_max
     t_safe = jnp.where(mask, best.t, 0.0)
     point = o + d * t_safe[:, None]
-    return Hit(t=best.t, point=point, normal=best.normal, color=best.color, mask=mask)
+    hit = Hit(t=best.t, point=point, normal=best.normal, color=best.color, mask=mask)
+    # saved through remat_bounces (policy save_only_these_names): pins the
+    # fused family-chain winner so the backward's recompute cannot flip a
+    # borderline closest-hit comparison, and skips re-running every
+    # family kernel + kd walk.  ~11 words/ray/bounce of residuals vs the
+    # ~100+ the shading stage alone would otherwise store.
+    from jax.ad_checkpoint import checkpoint_name
+
+    return jax.tree_util.tree_map(lambda x: checkpoint_name(x, "traversal"), hit)
 
 
 def occluded(scene, o, d, t_max, cfg) -> jnp.ndarray:

@@ -55,6 +55,21 @@ def render_rays(scene, o, d, pixel_dirs, cfg: Config) -> jnp.ndarray:
         d = jnp.where(active[:, None], d_new, d)
         return (o, d, final, active)
 
+    body = live_bounce
+    if getattr(cfg, "remat_bounces", False):
+        # recompute-not-store through the backward, EXCEPT the traversal
+        # outputs (winning hit record, prim ids, shadow visibility bits),
+        # which are tagged checkpoint_name('traversal') at their call
+        # sites: saving those few words per ray means the VJP never
+        # re-runs a kd walk or shadow traversal — the SURVEY §7 "save
+        # prim-id, re-derive the rest" recipe.  Rematerialized *shading*
+        # predicates can still round differently at exact decision
+        # boundaries (both branches are valid a.e. subgradients there;
+        # see tests/test_grad.py::test_remat_bounces_grads_identical).
+        body = jax.checkpoint(
+            live_bounce,
+            policy=jax.checkpoint_policies.save_only_these_names("traversal"))
+
     def bounce(carry, k):
         # skip the whole round once every ray in the (shard of the) tile
         # has terminated — the first-miss break of main.cpp:322-325 lifted
@@ -62,7 +77,7 @@ def render_rays(scene, o, d, pixel_dirs, cfg: Config) -> jnp.ndarray:
         # update above is masked by ``active``.  lax.cond (not while_loop)
         # keeps the integrator reverse-mode differentiable.
         return jax.lax.cond(
-            jnp.any(carry[3]), lambda c: live_bounce(c, k), lambda c: c, carry
+            jnp.any(carry[3]), lambda c: body(c, k), lambda c: c, carry
         ), None
 
     # derive carry init from the (possibly shard_map-varying) ray arrays so

@@ -101,6 +101,9 @@ def lighting_factor(scene, points, normals, pixel_dirs, cfg, active=None) -> jnp
     relevant = jax.lax.stop_gradient(diffuse + specular) > 0.0  # (N, L)
     visible = jax.lax.stop_gradient(
         light_visibility(scene, points, cfg, active, relevant))  # (N, L)
+    # saved through remat_bounces: the backward must NOT re-run the 9
+    # shadow traversals (nor risk flipping a borderline visibility bit)
+    visible = jax.ad_checkpoint.checkpoint_name(visible, "traversal")
     if active is not None:
         visible &= active[:, None]
     # irrelevant pairs come back "visible" but multiply a zero term
