@@ -187,6 +187,14 @@ def _stack_depth(kd, cfg):
     return cfg.stack_depth
 
 
+def _vzeros(ref):
+    """Per-ray zero vectors that INHERIT ref's shard_map varying axes —
+    a plain jnp.zeros carry init is 'unvarying' and fails while_loop
+    vma-consistency when the traversal runs inside shard_map."""
+    vz = ref.astype(jnp.float32) * 0.0
+    return vz, vz.astype(jnp.int32)
+
+
 def _traverse(kd, tri_verts, o, d, t_max, cfg, any_hit: bool):
     n = o.shape[0]
     stack_depth = _stack_depth(kd, cfg)
@@ -199,20 +207,21 @@ def _traverse(kd, tri_verts, o, d, t_max, cfg, any_hit: bool):
     active0 = root_hit & ~(tmin0 > t_max)
 
     tbl = _pack_nodes(kd)
+    vz, zi = _vzeros(t_max)
     state = dict(
         active=active0,
-        node=jnp.zeros((n,), jnp.int32),
-        pk=jnp.broadcast_to(tbl[0], (n, 5)),
+        node=zi,
+        pk=tbl[zi],
         tmin=tmin0,
         tmax=tmax0,
-        sp=jnp.zeros((n,), jnp.int32),
-        stack_node=jnp.zeros((stack_depth, n), jnp.int32),
-        stack_tmin=jnp.zeros((stack_depth, n), jnp.float32),
-        stack_tmax=jnp.zeros((stack_depth, n), jnp.float32),
-        cursor=jnp.zeros((n,), jnp.int32),
+        sp=zi,
+        stack_node=jnp.zeros((stack_depth, 1), jnp.int32) + zi[None, :],
+        stack_tmin=jnp.zeros((stack_depth, 1), jnp.float32) + vz[None, :],
+        stack_tmax=jnp.zeros((stack_depth, 1), jnp.float32) + vz[None, :],
+        cursor=zi,
         t_best=t_max.astype(jnp.float32),
-        prim_best=jnp.full((n,), -1, jnp.int32),
-        found=jnp.zeros((n,), bool),
+        prim_best=zi - 1,
+        found=vz > 1.0,
     )
 
     def cond(s):
@@ -315,20 +324,21 @@ def _traverse_binned(kd, o, d, t_max, cfg, any_hit: bool):
     big = jnp.int32(2**30)
 
     tbl = _pack_nodes(kd)
+    vz, zi = _vzeros(t_max)
     state = dict(
         active=active0,
-        node=jnp.zeros((n,), jnp.int32),
-        pk=jnp.broadcast_to(tbl[0], (n, 5)),
+        node=zi,
+        pk=tbl[zi],
         tmin=tmin0,
         tmax=tmax0,
-        sp=jnp.zeros((n,), jnp.int32),
-        stack_node=jnp.zeros((_stack_depth(kd, cfg), n), jnp.int32),
-        stack_tmin=jnp.zeros((_stack_depth(kd, cfg), n), jnp.float32),
-        stack_tmax=jnp.zeros((_stack_depth(kd, cfg), n), jnp.float32),
-        cursor=jnp.zeros((n,), jnp.int32),
+        sp=zi,
+        stack_node=jnp.zeros((_stack_depth(kd, cfg), 1), jnp.int32) + zi[None, :],
+        stack_tmin=jnp.zeros((_stack_depth(kd, cfg), 1), jnp.float32) + vz[None, :],
+        stack_tmax=jnp.zeros((_stack_depth(kd, cfg), 1), jnp.float32) + vz[None, :],
+        cursor=zi,
         t_best=t_max.astype(jnp.float32),
-        prim_best=jnp.full((n,), -1, jnp.int32),
-        found=jnp.zeros((n,), bool),
+        prim_best=zi - 1,
+        found=vz > 1.0,
     )
 
     interior_step = _make_interior_step(tbl, o, d, inv_d, t_max, cfg)

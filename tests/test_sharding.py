@@ -58,3 +58,25 @@ def test_train_step_descends():
         loss, scene = step(scene, target)
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def test_sharded_render_with_kdtree_matches_single():
+    """kd traversal inside shard_map (the flagship's actual DP path):
+    the while-loop carries must inherit the rays' varying axes, and the
+    sharded render must match single-device exactly."""
+    from dod_raytracer_tpu.mesh import load_mesh_asset
+
+    cfg = Config(Width=32, Height=24, use_kdtree=True, recursion_depth=3,
+                 ray_tile=768)
+    tv, tn = load_mesh_asset("teapot")
+    b = SceneBuilder()
+    b.add_mesh(tv[:3000], tn[:3000])
+    b.add_sphere((2.0, 1.0, 1.0), 0.8, (0.9, 0.3, 0.2))
+    b.add_plane((0.0, 0.0, 5.0), (0.0, 0.0, -1.0), (0.2, 0.4, 0.6))
+    b.add_light((0.0, 3.0, -3.0), 3.0)
+    scene = b.build(cfg)
+    mesh = make_mesh(8)
+    img_sharded = np.asarray(render_image_sharded(
+        replicate_scene(scene, mesh), cfg, mesh))
+    img_single = np.asarray(render_image(scene, cfg))
+    np.testing.assert_allclose(img_sharded, img_single, atol=1e-6)
