@@ -32,11 +32,10 @@ order, t_max tightening, strict-improvement tie-breaks, the clip-vs-tmin
 break check (kdtree.cpp:286-289) and any-hit early exit all match the
 single-tree walk (kdtree.cpp:263-361) and ops/traverse.py exactly.
 
-One-hot fetches run at Precision.HIGH (bf16x3): exact for a one-hot
-operand — the f32 table value splits exactly into three bf16 terms whose
-1.0-weighted products reassemble in the f32 accumulator (24 mantissa bits
-covered); zero lanes contribute exact zeros.  The Plücker leaf matmul
-stays at HIGHEST (real-valued operands need f32-faithful products).
+One-hot fetches and the Plücker leaf matmul run at Precision.HIGHEST:
+the default one-pass bf16 dot would round node ids / geometry.  (bf16x3
+would already be exact for the one-hot fetch, but Mosaic only implements
+DEFAULT/HIGHEST — "Unsupported dot precision: HIGH".)
 """
 
 from __future__ import annotations
@@ -74,7 +73,7 @@ def _kernel(top_ref, o_ref, d_ref, invd_ref, tmin_ref, tmax_ref, act_ref,
 
     zero_i = jnp.zeros_like(tmin0, dtype=jnp.int32)
 
-    hi3 = jax.lax.Precision.HIGH  # bf16x3 — exact for one-hot fetches
+    hi3 = jax.lax.Precision.HIGHEST  # Mosaic implements only DEFAULT/HIGHEST
 
     def fetch(tbl, node):
         """node (TILE,1) i32 -> that row of tbl, (TILE,128) f32."""

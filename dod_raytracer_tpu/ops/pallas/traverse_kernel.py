@@ -93,12 +93,12 @@ def _kernel(tbl_ref, o_ref, d_ref, invd_ref, tmin_ref, tmax_ref, act_ref,
         cols = jax.lax.broadcasted_iota(
             jnp.int32, (node.shape[0], tbl.shape[0]), 1)
         onehot = (cols == node).astype(jnp.float32)
-        # HIGH (bf16x3): exact for a one-hot operand — the f32 table value
-        # splits exactly into three bf16 terms whose 1.0-weighted products
-        # reassemble in the f32 accumulator (24 mantissa bits); the default
-        # one-pass bf16 would round node ids.  Half the cost of HIGHEST.
+        # HIGHEST: the default one-pass bf16 dot would round node ids
+        # (>8 mantissa bits).  bf16x3 (Precision.HIGH) would already be
+        # exact for a one-hot operand, but Mosaic only implements
+        # DEFAULT/HIGHEST ("Unsupported dot precision: HIGH").
         return jnp.dot(onehot, tbl, preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGH)
+                       precision=jax.lax.Precision.HIGHEST)
 
     def stack_set(st, sp, value, do):
         rows = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)

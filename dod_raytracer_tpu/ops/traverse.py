@@ -452,8 +452,11 @@ def _backend(kd, cfg):
         if be == "forest" or big:
             # tree too big for one resident table (or forest explicitly
             # requested): the treelet-forest kernel — same semantics,
-            # VMEM-windowed tables
-            if kd.tre_tbl is not None and kd.top_tbl is not None:
+            # VMEM-windowed tables.  NOT chosen by 'auto' for big trees:
+            # measured on v5e the forest walk's per-step one-hot fetches
+            # over 1024-row treelet tables lose badly to the XLA gather
+            # walk on the flagship (in-scene, wall-clipped) workload.
+            if be == "forest" and kd.tre_tbl is not None and kd.top_tbl is not None:
                 return "forest"
             return "xla" if big else "mega"
         return "mega"
