@@ -44,6 +44,9 @@ class Config:
     # rematerialize each bounce in the backward pass (jax.checkpoint):
     # trades a second forward sweep for not storing per-bounce residuals
     remat_bounces: bool = False
+    # lax.cond-skip whole bounce rounds whose rays have all terminated:
+    # exact; helps open scenes, irrelevant for the closed reference box
+    bounce_skip: bool = False
     # small-mesh crossover: meshes with <= this many triangles bypass the
     # kd walk for the batched brute-force intersector (0 = always use the
     # tree when built); threshold measured by scripts/tpu_sweep.py

@@ -70,15 +70,25 @@ def render_rays(scene, o, d, pixel_dirs, cfg: Config) -> jnp.ndarray:
             live_bounce,
             policy=jax.checkpoint_policies.save_only_these_names("traversal"))
 
-    def bounce(carry, k):
+    if getattr(cfg, "bounce_skip", False):
         # skip the whole round once every ray in the (shard of the) tile
         # has terminated — the first-miss break of main.cpp:322-325 lifted
         # to the wavefront; a dead round is an exact identity since every
         # update above is masked by ``active``.  lax.cond (not while_loop)
-        # keeps the integrator reverse-mode differentiable.
-        return jax.lax.cond(
-            jnp.any(carry[3]), lambda c: body(c, k), lambda c: c, carry
-        ), None
+        # keeps the integrator reverse-mode differentiable.  Opt-in: a big
+        # win for open scenes (rays die at the first miss), near-zero for
+        # the closed reference box (rays always hit a wall and live all 10
+        # rounds), and the per-bounce cond noticeably slows XLA:TPU
+        # compilation of the 10-round scan.
+        inner = body
+
+        def bounce(carry, k):
+            return jax.lax.cond(
+                jnp.any(carry[3]), lambda c: inner(c, k), lambda c: c, carry
+            ), None
+    else:
+        def bounce(carry, k):
+            return body(carry, k), None
 
     # derive carry init from the (possibly shard_map-varying) ray arrays so
     # the scan carry has consistent varying-manual-axes under shard_map

@@ -77,3 +77,29 @@ def test_miss_is_black_and_bounce_weights():
     assert img[-1, -1].max() == 0.0
     # center hits
     assert img[8, 8].max() > 0.0
+
+
+def test_bounce_skip_render_identical():
+    """bounce_skip=True (cond-skip of dead rounds) must be pixel-exact vs
+    the plain scan — every bounce update is active-masked, so a skipped
+    round is an identity."""
+    import numpy as np
+
+    from dod_raytracer_tpu import Config, render_image
+    from dod_raytracer_tpu.mesh import load_mesh_asset
+    from dod_raytracer_tpu.scene import SceneBuilder
+
+    tv, tn = load_mesh_asset("teapot")
+
+    def render(skip):
+        # OPEN scene (no enclosing box): rays die at the first miss, so
+        # skipped rounds actually occur
+        cfg = Config(Width=48, Height=32, use_kdtree=True, ray_tile=1536,
+                     bounce_skip=skip)
+        b = SceneBuilder()
+        b.add_mesh(tv, tn)
+        b.add_sphere((2.5, 0.0, 1.0), 0.8, (0.9, 0.3, 0.2))
+        b.add_light((0.0, 3.0, -3.0), 3.0)
+        return np.asarray(render_image(b.build(cfg), cfg))
+
+    np.testing.assert_array_equal(render(True), render(False))
