@@ -26,7 +26,6 @@ import jax
 import jax.numpy as jnp
 
 from .intersect import occluded
-from .utils.math import dot, normalize, reflect
 
 AMBIENT = 0.2  # main.cpp:158
 SPECULAR_POW = 7.0  # main.cpp:178
