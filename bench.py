@@ -26,7 +26,9 @@ Usage:
 from __future__ import annotations
 
 import json
+import os
 import sys
+import threading
 import time
 
 import jax
@@ -41,7 +43,11 @@ import numpy as np
 # explicitly intended.  The round-1 pin (27.98M) timed a 4-tile top-of-frame
 # sample — biased toward wall-only tiles; this pin times every tile.
 BASELINE_RAYS_PER_SEC = 26_000_000.0
-BASELINE_RAYS_PER_SEC_GRAD = 3_600_000.0
+# Round-3 re-pin: the round-2 grad pin (3.6M) was measured with the scene
+# closure-captured in the jitted grad program — the exact HLO-constant
+# gotcha BASELINE.md documents (~250x slow).  With the scene passed as a
+# jit argument the same workload measures 24.5M rays/s fwd+bwd.
+BASELINE_RAYS_PER_SEC_GRAD = 24_000_000.0
 
 
 def build_flagship(small: bool):
@@ -71,92 +77,122 @@ def build_flagship(small: bool):
 
 def _frame_tiles(cfg):
     """All ray tiles of the frame, padded like render_image."""
-    from dod_raytracer_tpu.camera import primary_rays
+    from dod_raytracer_tpu.render import _padded_frame_rays
 
-    o, d, d_raw = primary_rays(cfg.Width, cfg.Height)
-    n = o.shape[0]
-    tile = min(cfg.ray_tile, n)
-    pad = (-n) % tile
-    if pad:
-        fill = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], d.dtype), (pad, 1))
-        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)], 0)
-        d = jnp.concatenate([d, fill], 0)
-        d_raw = jnp.concatenate([d_raw, fill], 0)
-    return o, d, d_raw, n, tile, (n + pad) // tile
+    return _padded_frame_rays(cfg)
 
 
 def bench_forward(scene, cfg, repeats=5):
     """Primary rays/sec through the full integrator, whole 1080p frame.
 
-    Every repeat renders EVERY tile of the frame through the single jitted
-    per-tile program render_image dispatches, so the number is the honest
-    full-frame throughput (dragon-covering center tiles and wall-only edge
-    tiles both included at their true frequency).
+    Every repeat renders EVERY tile of the frame through the exact
+    dispatch structure render_image uses (in-program dynamic-slice
+    tiling, device-resident start offsets, capped in-flight pipeline),
+    so the number is the honest full-frame throughput — dragon-covering
+    center tiles and wall-only edge tiles at their true frequency, all
+    per-tile dispatch overhead included.
     """
-    from dod_raytracer_tpu.render import _render_tile_jit
+    from dod_raytracer_tpu.render import render_frame_tiles, _tile_starts
 
     o, d, d_raw, n, tile, num_tiles = _frame_tiles(cfg)
-    # warmup tile 0: compile + first run
-    img = _render_tile_jit(scene, o[:tile], d[:tile], d_raw[:tile], cfg)
-    img.block_until_ready()
+    starts = _tile_starts(num_tiles, tile)
+    jax.block_until_ready([o, d, d_raw] + starts)
+    # warmup: compile + first full frame
+    outs = render_frame_tiles(scene, o, d, d_raw, starts, cfg, tile)
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        outs = []
-        for i in range(num_tiles):
-            sl = slice(i * tile, (i + 1) * tile)
-            outs.append(_render_tile_jit(scene, o[sl], d[sl], d_raw[sl], cfg))
-            # cap in-flight executions: the axon runtime stalls with a long
-            # unblocked dispatch queue (127 in flight hangs; <=8 is safe)
-            if len(outs) >= 8:
-                jax.block_until_ready(outs)
-                del outs[:-1]
-        jax.block_until_ready(outs)
+        outs = render_frame_tiles(scene, o, d, d_raw, starts, cfg, tile)
         times.append(time.perf_counter() - t0)
     t = float(np.median(times))
     spread = (max(times) - min(times)) / t
-    assert not bool(jnp.isnan(outs[0]).any()), "NaNs in benchmark render"
-    return n / t, t, spread
+    return n / t, t, spread, outs[-1]
 
 
 def bench_grad(scene, cfg, repeats=3):
     """Forward+backward throughput over the full frame: per-tile grad
-    accumulation dispatched from the host (one compile; same structure as
-    train.fit's render-loss step)."""
-    from dod_raytracer_tpu.render import render_rays
+    accumulation fused into the tile program (donated accumulator), tiles
+    sliced on device — same dispatch structure as bench_forward.
+
+    Scene MUST be a jit argument, never a closure capture: closed-over
+    device arrays are embedded as HLO constants, which (a) force a
+    device->host fetch of the whole 870k-tri scene at lowering time
+    (minutes through the relay) and (b) re-materialize the constants per
+    execution (measured 17 s vs 0.7 ms per grad tile, BASELINE.md round-3
+    gotcha notes).
+    """
+    import functools
+
+    from dod_raytracer_tpu.render import render_rays, _tile_starts
 
     o, d, d_raw, n, tile, num_tiles = _frame_tiles(cfg)
+    starts = _tile_starts(num_tiles, tile)
+    jax.block_until_ready([o, d, d_raw] + starts)
 
-    @jax.jit
-    def tile_grad(verts, ot, dt, rt):
+    @functools.partial(jax.jit, static_argnames=("tile",),
+                       donate_argnames=("g_acc", "total"))
+    def tile_grad(sc, o, d, d_raw, g_acc, total, start, tile):
+        ot = jax.lax.dynamic_slice_in_dim(o, start, tile, 0)
+        dt = jax.lax.dynamic_slice_in_dim(d, start, tile, 0)
+        rt = jax.lax.dynamic_slice_in_dim(d_raw, start, tile, 0)
+
         def f(v):
-            s = scene.replace(triangles=scene.triangles.replace(verts=v))
+            s = sc.replace(triangles=sc.triangles.replace(verts=v))
             return jnp.sum(render_rays(s, ot, dt, rt, cfg) ** 2)
 
-        return jax.value_and_grad(f)(verts)
+        val, g = jax.value_and_grad(f)(sc.triangles.verts)
+        return g_acc + g, total + val
 
     def full():
-        total = 0.0
-        g_acc = None
-        for i in range(num_tiles):
-            sl = slice(i * tile, (i + 1) * tile)
-            val, g = tile_grad(scene.triangles.verts, o[sl], d[sl], d_raw[sl])
-            total += val
-            g_acc = g if g_acc is None else g_acc + g
+        g_acc = jnp.zeros_like(scene.triangles.verts)
+        total = jnp.zeros((), jnp.float32)
+        for i, s in enumerate(starts):
+            g_acc, total = tile_grad(scene, o, d, d_raw, g_acc, total, s,
+                                     tile=tile)
+            if (i + 1) % 8 == 0:
+                # bound the dispatch queue (axon stalls on long unblocked
+                # queues); the chain is serial through g_acc anyway
+                total.block_until_ready()
+        jax.block_until_ready((g_acc, total))
         return total, g_acc
 
     val, g = full()  # compile + warmup
-    g.block_until_ready()
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         val, g = full()
-        g.block_until_ready()
         times.append(time.perf_counter() - t0)
     t = float(np.median(times))
     spread = (max(times) - min(times)) / t
-    assert bool(jnp.isfinite(val)), val
-    return n / t, t, spread
+    return n / t, t, spread, val
+
+
+def _guarded_finite_check(sample, timeout_s=120.0):
+    """Device->host fetch of a result sample, bounded in wall time.
+
+    The axon relay's device-to-host transfer path can take minutes to
+    initialize (or stall outright) even though dispatch+block_until_ready
+    is fast — round 2's driver bench run died inside an eager
+    ``jnp.isnan(...).any()`` fetch after all timing had already finished
+    (BENCH_r02.json rc=124).  The check therefore runs on a daemon thread
+    with a hard timeout; "skipped" means the transfer path stalled, not
+    that the render failed.
+    """
+    result = {}
+
+    def worker():
+        try:
+            h = np.asarray(sample)
+            result["ok"] = bool(np.isfinite(h).all())
+        except Exception as e:  # pragma: no cover - transfer-path failure
+            result["err"] = repr(e)
+
+    th = threading.Thread(target=worker, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if "ok" in result:
+        return "pass" if result["ok"] else "FAIL"
+    return "skipped" if th.is_alive() else result.get("err", "skipped")
 
 
 def main():
@@ -164,16 +200,17 @@ def main():
     grad = "--grad" in sys.argv
     scene, cfg = build_flagship(small)
     if grad:
-        rays_s, sec, spread = bench_grad(scene, cfg)
+        rays_s, sec, spread, sample = bench_grad(scene, cfg)
         metric = "primary_rays_per_sec_fwd_bwd"
         base = BASELINE_RAYS_PER_SEC_GRAD
     else:
-        rays_s, sec, spread = bench_forward(scene, cfg)
+        rays_s, sec, spread, sample = bench_forward(scene, cfg)
         metric = "primary_rays_per_sec_fwd"
         base = BASELINE_RAYS_PER_SEC
     if small:
         metric += "_teapot512"
     vs = rays_s / base if base else 1.0
+    check = _guarded_finite_check(sample)
     print(json.dumps({
         "metric": metric,
         "value": round(rays_s, 1),
@@ -181,7 +218,12 @@ def main():
         "vs_baseline": round(vs, 3),
         "frame_seconds": round(sec, 4),
         "rep_spread": round(spread, 3),
+        "finite_check": check,
     }))
+    sys.stdout.flush()
+    # Skip interpreter/runtime teardown: the relay-backed PJRT client can
+    # hang on shutdown, turning a finished bench into an rc=124.
+    os._exit(0 if check != "FAIL" else 1)
 
 
 if __name__ == "__main__":

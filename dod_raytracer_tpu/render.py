@@ -102,6 +102,64 @@ def _render_tile_jit(scene, o, d, d_raw, cfg) -> jnp.ndarray:
     return render_rays(scene, o, d, d_raw, cfg)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "tile"))
+def _render_tile_at_jit(scene, o, d, d_raw, start, cfg, tile) -> jnp.ndarray:
+    """Render rays [start, start+tile) of pre-generated frame rays.
+
+    The tile slice happens ON DEVICE (lax.dynamic_slice): the host passes
+    the full ray arrays by reference plus a device-resident scalar start.
+    Host-side eager slicing (``o[sl]``) costs a relay round trip per slice
+    on the axon runtime — 3 slices/tile turned a 6 ms device frame into an
+    80 ms latency-bound one (BASELINE.md round 3).
+    """
+    ot = jax.lax.dynamic_slice_in_dim(o, start, tile, 0)
+    dt = jax.lax.dynamic_slice_in_dim(d, start, tile, 0)
+    rt = jax.lax.dynamic_slice_in_dim(d_raw, start, tile, 0)
+    return render_rays(scene, ot, dt, rt, cfg)
+
+
+# The axon runtime stalls when too many executions sit unblocked in the
+# dispatch queue (127 in flight hangs; <=8 measured safe).
+_MAX_IN_FLIGHT = 8
+
+
+def _padded_frame_rays(frozen):
+    """Frame primary rays padded to a tile multiple: (o, d, d_raw, n, tile,
+    num_tiles).  Padding rays point down +z from the origin (any unit-ish
+    dir works; their output rows are dropped)."""
+    o, d, d_raw = primary_rays(frozen.Width, frozen.Height)
+    n = o.shape[0]
+    tile = min(frozen.ray_tile, n)
+    pad = (-n) % tile
+    if pad:
+        fill_d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], d.dtype), (pad, 1))
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)], 0)
+        d = jnp.concatenate([d, fill_d], 0)
+        d_raw = jnp.concatenate([d_raw, fill_d], 0)
+    return o, d, d_raw, n, tile, (n + pad) // tile
+
+
+def _tile_starts(num_tiles: int, tile: int):
+    """Device-resident per-tile start offsets (ONE host->device transfer;
+    per-dispatch scalar uploads cost ~50us each through the relay)."""
+    starts = jax.device_put(np.arange(num_tiles, dtype=np.int32) * tile)
+    return [starts[i] for i in range(num_tiles)]
+
+
+def render_frame_tiles(scene, o, d, d_raw, starts, cfg, tile):
+    """Dispatch every tile of a frame, capped in-flight; returns the list
+    of per-tile color arrays (device)."""
+    outs = []
+    for s in starts:
+        outs.append(_render_tile_at_jit(scene, o, d, d_raw, s, cfg, tile))
+        if len(outs) > _MAX_IN_FLIGHT:
+            # wait for the tile _MAX_IN_FLIGHT back: keeps a full pipeline
+            # window while bounding outstanding executions
+            outs[-_MAX_IN_FLIGHT - 1].block_until_ready()
+    jax.block_until_ready(outs)
+    return outs
+
+
 def render_image(scene, cfg: Config) -> jnp.ndarray:
     """Render the full frame to linear float RGB (H, W, 3).
 
@@ -113,20 +171,9 @@ def render_image(scene, cfg: Config) -> jnp.ndarray:
     and has crashed the TPU runtime at production sizes.
     """
     frozen = _FrozenConfig.from_config(cfg)
-    o, d, d_raw = primary_rays(frozen.Width, frozen.Height)
-    n = o.shape[0]
-    tile = min(frozen.ray_tile, n)
-    pad = (-n) % tile
-    if pad:
-        fill_d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], d.dtype), (pad, 1))
-        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)], 0)
-        d = jnp.concatenate([d, fill_d], 0)
-        d_raw = jnp.concatenate([d_raw, fill_d], 0)
-    num_tiles = (n + pad) // tile
-    outs = []
-    for i in range(num_tiles):
-        sl = slice(i * tile, (i + 1) * tile)
-        outs.append(_render_tile_jit(scene, o[sl], d[sl], d_raw[sl], frozen))
+    o, d, d_raw, n, tile, num_tiles = _padded_frame_rays(frozen)
+    starts = _tile_starts(num_tiles, tile)
+    outs = render_frame_tiles(scene, o, d, d_raw, starts, frozen, tile)
     colors = outs[0] if num_tiles == 1 else jnp.concatenate(outs, axis=0)
     return colors[:n].reshape(frozen.Height, frozen.Width, 3)
 

@@ -103,3 +103,25 @@ def test_bounce_skip_render_identical():
         return np.asarray(render_image(b.build(cfg), cfg))
 
     np.testing.assert_array_equal(render(True), render(False))
+
+
+def test_tiling_invariance():
+    """render_image must be invariant to ray_tile (the dynamic-slice
+    tiling path, incl. the padded last tile, is a pure re-batching of the
+    work — BASELINE.md round-3 dispatch restructure).  Tolerance, not
+    exact: XLA reduction/fusion order legitimately varies with batch
+    shape, and the 10-bounce chain amplifies the last-ulp differences."""
+    import numpy as np
+
+    from dod_raytracer_tpu import Config, render_image
+    from dod_raytracer_tpu.scene import default_scene
+
+    imgs = []
+    # 31*17=527 rays: prime-ish so small tiles force padding; one tile
+    # covers the whole frame at 1024
+    for tile in (64, 200, 1024):
+        cfg = Config(Width=31, Height=17, use_kdtree=False, ray_tile=tile)
+        scene = default_scene(seed=0, cfg=cfg, mesh=None).build(cfg)
+        imgs.append(np.asarray(render_image(scene, cfg)))
+    np.testing.assert_allclose(imgs[0], imgs[1], atol=2e-4)
+    np.testing.assert_allclose(imgs[0], imgs[2], atol=2e-4)
