@@ -178,10 +178,17 @@ def render_image(scene, cfg: Config) -> jnp.ndarray:
     return colors[:n].reshape(frozen.Height, frozen.Width, 3)
 
 
-def quantize_u8(img: jnp.ndarray) -> np.ndarray:
+def quantize_u8(img: jnp.ndarray, fetch_timeout_s: float = 1800.0) -> np.ndarray:
     """clamp(c*255, 0, 255) then truncating u8 cast — toOutputChannelType
-    (main.cpp:168-171) followed by glm's float->uint8 static_cast."""
-    arr = np.asarray(jnp.clip(img * 255.0, 0.0, 255.0))
+    (main.cpp:168-171) followed by glm's float->uint8 static_cast.
+
+    The device->host fetch goes through the watchdogged path: on the
+    tunneled TPU runtime a first-of-process transfer can take minutes
+    (utils/fetch.py); a stall raises FetchTimeout instead of hanging."""
+    from .utils.fetch import guarded_device_get
+
+    arr = guarded_device_get(jnp.clip(img * 255.0, 0.0, 255.0),
+                             timeout_s=fetch_timeout_s, what="rendered frame")
     return arr.astype(np.uint8)
 
 

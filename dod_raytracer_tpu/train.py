@@ -17,6 +17,7 @@ import optax
 
 from .grad import merge_params, mse_loss, split_float_params
 from .render import _FrozenConfig
+from .utils.fetch import FetchTimeout, guarded_device_get
 
 
 @dataclasses.dataclass
@@ -74,15 +75,29 @@ def fit(scene, target, cfg, params: Sequence[str] = ("spheres", "lights"),
             start_step = start_step or 0
 
     update = make_update_fn(cfg, params, optimizer)
-    losses = []
+    losses = []  # device scalars until the final batched fetch
+    log_ok = True
     for step in range(start_step, steps):
         loss, scene, opt_state = update(scene, opt_state, target)
-        losses.append(float(loss))
-        if verbose and (step % log_every == 0 or step == steps - 1):
-            print(f"step {step}: loss {losses[-1]:.6e}")
+        losses.append(loss)
+        if verbose and log_ok and (step % log_every == 0 or step == steps - 1):
+            # per-step scalar fetches stall on hostile transfer paths
+            # (utils/fetch.py); degrade to silent after the first stall
+            # instead of hanging the loop
+            try:
+                v = float(guarded_device_get(loss, timeout_s=15.0,
+                                             what="loss scalar"))
+                print(f"step {step}: loss {v:.6e}")
+            except FetchTimeout:
+                log_ok = False
+                print("step-loss fetches stalling; logging disabled "
+                      "(losses still returned at the end)")
         if checkpoint_path is not None and (step + 1) % checkpoint_every == 0:
             from .checkpoint import save_scene_params
 
             save_scene_params(checkpoint_path, scene, params=params,
                               step=step + 1, opt_state=opt_state)
+    if losses:
+        host = guarded_device_get(jnp.stack(losses), what="loss history")
+        losses = [float(v) for v in host]
     return scene, losses
