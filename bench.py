@@ -182,8 +182,14 @@ def _guarded_finite_check(sample, timeout_s=120.0):
 
     def worker():
         try:
-            h = np.asarray(sample)
-            result["ok"] = bool(np.isfinite(h).all())
+            # reduce ON DEVICE, then fetch through the stall-resistant
+            # broadcast path (tiny transfers stall on the relay runtime
+            # while ~100KB+ fetches complete — utils/fetch.py)
+            from dod_raytracer_tpu.utils.fetch import guarded_scalar_get
+
+            flag = jax.jit(lambda x: jnp.isfinite(x).all())(sample)
+            result["ok"] = bool(guarded_scalar_get(
+                flag, timeout_s=timeout_s * 0.9, what="finite flag"))
         except Exception as e:  # pragma: no cover - transfer-path failure
             result["err"] = repr(e)
 

@@ -52,3 +52,18 @@ def guarded_device_get(x, timeout_s: float = 600.0, what: str = "array"):
         f"device->host fetch of {what} did not complete in {timeout_s:.0f}s "
         "(transfer path stalled; compute already finished — retry with a "
         "longer timeout or fetch a larger batch first)")
+
+
+def guarded_scalar_get(x, timeout_s: float = 600.0, what: str = "scalar"):
+    """Fetch a device scalar through the stall-resistant path.
+
+    The relay runtime stalls on tiny transfers while ~100 KB+ fetches
+    complete, so the scalar is broadcast on device to a (65536,) array
+    (256 KB f32) and one element of the host copy is returned.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    arr = jax.jit(lambda s: jnp.broadcast_to(jnp.asarray(s), (65536,)))(x)
+    host = guarded_device_get(arr, timeout_s=timeout_s, what=what)
+    return host[0]
