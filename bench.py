@@ -50,24 +50,28 @@ BASELINE_RAYS_PER_SEC = 26_000_000.0
 BASELINE_RAYS_PER_SEC_GRAD = 24_000_000.0
 
 
-def build_flagship(small: bool):
+def build_flagship(small: bool, grad: bool = False):
     from dod_raytracer_tpu.config import Config
     from dod_raytracer_tpu.render import _FrozenConfig
     from dod_raytracer_tpu.scene import default_scene
 
-    # ray_tile=16384: traversal throughput is flat in batch size on v5e
-    # (0.19 Mrays/s @16k vs 0.18 @65k) and the smaller program compiles
-    # far faster through the remote-compile tunnel.
+    # ray_tile=262144 (8 tiles @1080p): the lockstep traversal is
+    # per-iteration-overhead-bound at small batches — the r3 tilesize
+    # sweep (scripts/tpu_r3.py) measured the full dragon frame at
+    # 4.33 ms @16k-ray tiles vs 0.42 ms @262k, ~10x, with bit-identical
+    # output (scripts/tpu_tilecheck*.py).  The grad pass doubles the
+    # per-tile liveness (fwd residuals + bwd), so it runs 131072.
     # MaxPrims/leaf_chunk_lanes=32 (256-tri leaf blocks): TPU-tuned tree
     # shape — fat leaves are near-free on the MXU while every interior
     # step pays a fixed-rate HBM row gather; measured +61% over the
     # reference's CPU-tuned MaxPrims=8 on dragon@v5e (scripts/tpu_sweep.py)
+    rt = 131072 if grad else 262144
     if small:
-        cfg = Config(Width=512, Height=512, use_kdtree=True, ray_tile=16384,
+        cfg = Config(Width=512, Height=512, use_kdtree=True, ray_tile=rt,
                      MaxPrims=32, leaf_chunk_lanes=32)
         mesh = "teapot"
     else:
-        cfg = Config(Width=1920, Height=1080, use_kdtree=True, ray_tile=16384,
+        cfg = Config(Width=1920, Height=1080, use_kdtree=True, ray_tile=rt,
                      MaxPrims=32, leaf_chunk_lanes=32)
         mesh = "dragon"
     frozen = _FrozenConfig.from_config(cfg)
@@ -204,7 +208,7 @@ def _guarded_finite_check(sample, timeout_s=120.0):
 def main():
     small = "--small" in sys.argv
     grad = "--grad" in sys.argv
-    scene, cfg = build_flagship(small)
+    scene, cfg = build_flagship(small, grad)
     if grad:
         rays_s, sec, spread, sample = bench_grad(scene, cfg)
         metric = "primary_rays_per_sec_fwd_bwd"

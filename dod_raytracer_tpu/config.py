@@ -29,7 +29,12 @@ class Config:
 
     # --- new knobs (TPU build) ---
     recursion_depth: int = 10  # reference hardcodes 10 (src/main.cpp:301)
-    ray_tile: int = 32768  # rays processed per sequential tile inside render
+    # rays processed per sequential tile inside render; 0 = auto (backend-
+    # tuned: big tiles on TPU — the lockstep traversal is per-iteration-
+    # overhead-bound at small batches, 16k->262k tiles measured ~10x
+    # frame throughput on v5e, scripts/tpu_r3.py tilesize — conservative
+    # 32k elsewhere)
+    ray_tile: int = 32768
     lane_size: int = 8  # triangles per kd-tree lane (reference c_triangleLaneSz)
     leaf_chunk_lanes: int = 8  # lanes intersected per traversal step
     stack_depth: int = 64  # traversal worklist depth (kdtree.cpp:279)
