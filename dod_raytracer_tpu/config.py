@@ -52,6 +52,12 @@ class Config:
     # lax.cond-skip whole bounce rounds whose rays have all terminated:
     # exact; helps open scenes, irrelevant for the closed reference box
     bounce_skip: bool = False
+    # one flattened (L*N,) any-hit walk for the whole shadow pass instead
+    # of L sequential N-ray walks — bit-identical results.  None = auto:
+    # ON off-CPU (the lockstep walk's real cost driver there is
+    # per-iteration fixed overhead, BASELINE.md r3), OFF on CPU hosts
+    # (bytes dominate; the L*N working set measured ~4x slower).
+    shadow_batch_lights: Optional[bool] = None
     # small-mesh crossover: meshes with <= this many triangles bypass the
     # kd walk for the batched brute-force intersector (0 = always use the
     # tree when built); threshold measured by scripts/tpu_sweep.py

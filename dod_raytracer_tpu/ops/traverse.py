@@ -436,10 +436,13 @@ def _traverse_mega(kd, o, d, t_max, cfg, any_hit: bool):
 def _backend(kd, cfg):
     be = getattr(cfg, "traversal_backend", "xla")
     if be == "auto":
-        # Measured on v5e (BASELINE.md): the Pallas megakernel wins on
-        # coherent wavefronts when the node table fits VMEM (teapot camera:
-        # 34.6ms vs 60ms XLA @16k rays); the XLA wavefront loop is the
-        # fastest generally-applicable backend for big trees.
+        # Fetch-synchronized real-device measurement on v5e (BASELINE.md
+        # round 3; every earlier dispatch-side comparison was timing
+        # fiction): teapot closest-hit @16k rays — mega 5.9 ms vs
+        # brute 27.5 ms vs XLA walk 109 ms; dragon closest-hit @16k —
+        # binned 43.7 ms vs forest 86 ms vs XLA 114 ms vs brute 2.9 s.
+        # So 'auto' = megakernel when the node table fits VMEM, else the
+        # binned block-loop leaf stage; XLA gather walk off-TPU.
         from .pallas.mt_kernel import on_tpu
 
         be = "mega" if on_tpu() else "xla"
@@ -450,15 +453,9 @@ def _backend(kd, cfg):
             return "xla"
         big = kd.node_flag.shape[0] > MAX_NODES
         if be == "forest" or big:
-            # tree too big for one resident table (or forest explicitly
-            # requested): the treelet-forest kernel — same semantics,
-            # VMEM-windowed tables.  NOT chosen by 'auto' for big trees:
-            # measured on v5e the forest walk's per-step one-hot fetches
-            # over 1024-row treelet tables lose badly to the XLA gather
-            # walk on the flagship (in-scene, wall-clipped) workload.
             if be == "forest" and kd.tre_tbl is not None and kd.top_tbl is not None:
                 return "forest"
-            return "xla" if big else "mega"
+            return "binned" if big else "mega"
         return "mega"
     return be
 

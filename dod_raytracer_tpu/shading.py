@@ -35,9 +35,17 @@ SHADOW_OFFSET = 0.01  # main.cpp:192
 def light_visibility(scene, points, cfg, active=None, relevant=None) -> jnp.ndarray:
     """(N, L) bool — canSeeLight (main.cpp:182-219) for all rays x lights.
 
-    Lights are processed sequentially (lax.map) so the shadow wavefront
-    stays at N rays — batching N*L through the kd traversal multiplies the
-    leaf-gather working set by L and OOMs HBM at production tile sizes.
+    Two execution shapes, bit-identical results (occlusion is elementwise
+    over rays):
+
+    * ``shadow_batch_lights`` (default): ONE any-hit traversal over the
+      flattened (L*N,) shadow wavefront.  The lockstep walk's dominant
+      real cost is per-iteration fixed overhead, not per-ray work
+      (fetch-synchronized measurement, BASELINE.md round 3), so one
+      9N-ray walk costs far less than 9 serial N-ray walks.
+    * sequential ``lax.map`` over lights, keeping the wavefront at N
+      rays — for backends/hosts where the L*N working set (e.g. the
+      (L*N, S, 9) leaf gather of the XLA path) would blow memory.
 
     Rays masked out by ``active`` — and (ray, light) pairs masked out by
     ``relevant`` (N, L) — get t_max=-1 so every occlusion kernel's
@@ -46,17 +54,37 @@ def light_visibility(scene, points, cfg, active=None, relevant=None) -> jnp.ndar
     where the light's shading contribution is exactly zero, so the
     returned visibility is never consumed (exact-semantics skip).
     """
+    kill0 = jnp.zeros(points.shape[:1], bool)
+    if active is not None:
+        kill0 |= ~active
+
+    batch = getattr(cfg, "shadow_batch_lights", None)
+    if batch is None:  # auto: fixed-overhead-bound backends benefit
+        batch = jax.default_backend() != "cpu"
+    if batch:
+        lp = scene.lights.position  # (L, 3)
+        L, n = lp.shape[0], points.shape[0]
+        to_light = lp[:, None, :] - points[None, :, :]  # (L, N, 3)
+        dist = jnp.sqrt(jnp.sum(to_light * to_light, axis=-1))  # (L, N)
+        ldir = to_light / jnp.maximum(dist, 1e-30)[..., None]
+        o = points[None, :, :] + ldir * SHADOW_OFFSET
+        kill = jnp.broadcast_to(kill0[None, :], (L, n))
+        if relevant is not None:
+            kill = kill | ~relevant.T
+        dist = jnp.where(kill, -1.0, dist)
+        blocked = occluded(scene, o.reshape(L * n, 3), ldir.reshape(L * n, 3),
+                           dist.reshape(L * n), cfg).reshape(L, n)
+        return ~blocked.T
+
     def one_light(args):
         lp, rel = args
         to_light = lp[None, :] - points  # (N, 3)
         dist = jnp.sqrt(jnp.sum(to_light * to_light, axis=-1))
         ldir = to_light / jnp.maximum(dist, 1e-30)[:, None]
         o = points + ldir * SHADOW_OFFSET
-        kill = jnp.zeros(points.shape[:1], bool)
-        if active is not None:
-            kill |= ~active
+        kill = kill0
         if rel is not None:
-            kill |= ~rel
+            kill = kill | ~rel
         dist = jnp.where(kill, -1.0, dist)
         return occluded(scene, o, ldir, dist, cfg)
 
