@@ -202,6 +202,102 @@ def section_sweep():
                   f"{type(e).__name__}: {e}", flush=True)
 
 
+def section_flagship():
+    """New flagship config (auto->binned, mp=128, batched shadows):
+    1. exactness: binned vs XLA walk on a dragon center tile (fetches
+       run FIRST, while the process is light — the transfer path
+       degrades after heavy dispatch sessions);
+    2. honest bounce + frame cost via checksum-fetch differencing."""
+    from dod_raytracer_tpu.intersect import closest_hit, occluded
+    from dod_raytracer_tpu.ops.traverse import kd_any, kd_closest
+    from dod_raytracer_tpu.render import (_padded_frame_rays, _tile_starts,
+                                          render_frame_tiles, render_rays)
+    from dod_raytracer_tpu.shading import lighting_factor
+
+    over = dict(MaxPrims=128, leaf_chunk_lanes=128)
+    scene, fz = flagship_scene(traversal_backend="binned", **over)
+    _, fzx = flagship_scene(traversal_backend="xla", **over)
+    tiles, tile = center_tiles(fz, k=2)
+    inf = jnp.full((tile,), jnp.inf)
+
+    # --- 1. exactness (binned vs xla, same mp=128 tree) ---
+    o, d, _ = tiles[0]
+    tb, pb, hb = jax.jit(lambda s, o, d: kd_closest(s.kd, s.triangles, o, d, inf, fz))(scene, o, d)
+    tx, px, hx = jax.jit(lambda s, o, d: kd_closest(s.kd, s.triangles, o, d, inf, fzx))(scene, o, d)
+    ab = jax.jit(lambda s, o, d: kd_any(s.kd, s.triangles, o, d, jnp.full((tile,), 8.0), fz))(scene, o, d)
+    ax = jax.jit(lambda s, o, d: kd_any(s.kd, s.triangles, o, d, jnp.full((tile,), 8.0), fzx))(scene, o, d)
+    hb_, hx_ = np.asarray(hb), np.asarray(hx)
+    both = hb_ & hx_
+    flips = int((np.asarray(pb)[both] != np.asarray(px)[both]).sum())
+    print(f"exact: hits {hb_.sum()}/{tile} mask_match={(hb_ == hx_).all()} "
+          f"prim_flips={flips}/{int(both.sum())} "
+          f"max|dt|={np.abs(np.asarray(tb)[both] - np.asarray(tx)[both]).max():.2e} "
+          f"anyhit_match={(np.asarray(ab) == np.asarray(ax)).all()}", flush=True)
+
+    # --- 2. honest per-phase + frame ---
+    @jax.jit
+    def bounce(scene, o, d, d_raw):
+        hit = closest_hit(scene, o, d, fz, t_max=inf)
+        return lighting_factor(scene, hit.point, hit.normal, d_raw, fz,
+                               hit.mask)
+
+    truth_time(bounce, [(scene, o, d, r) for (o, d, r) in tiles],
+               "flagship ch+batched-shadow 16k", k=2)
+
+    @jax.jit
+    def full(scene, o, d, d_raw):
+        return render_rays(scene, o, d, d_raw, fz)
+
+    truth_time(full, [(scene, o, d, r) for (o, d, r) in tiles],
+               "flagship 10-bounce tile", k=1)
+
+    o, d, d_raw, n, rtile, num_tiles = _padded_frame_rays(fz)
+    starts = _tile_starts(num_tiles, rtile)
+
+    def frame():
+        return render_frame_tiles(scene, o, d, d_raw, starts, fz, rtile)
+
+    t0 = time.perf_counter()
+    fetch(_checksum(frame()), "frame checksum 1")
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    fetch(_checksum(frame() + frame()), "frame checksum 2")
+    t2 = time.perf_counter() - t0
+    per = t2 - t1
+    print(f"flagship FULL FRAME: {per:.2f}s -> {n/per/1e6:.2f} M rays/s "
+          f"(T1 {t1:.1f}s incl compile, T2 {t2:.1f}s)", flush=True)
+
+
+def section_scandebug():
+    """Why does the 10-bounce scan cost 4.8x the standalone bounce in the
+    new config (vs 1.35x in the old)?  Isolate: backend x shadow-batch x
+    recursion depth."""
+    from dod_raytracer_tpu.render import render_rays
+
+    def run(label, depth, **over):
+        try:
+            scene, fz = flagship_scene(recursion_depth=depth, **over)
+            tiles, tile = center_tiles(fz, k=2)
+
+            @jax.jit
+            def full(scene, o, d, d_raw):
+                return render_rays(scene, o, d, d_raw, fz)
+
+            truth_time(full, [(scene, o, d, r) for (o, d, r) in tiles],
+                       f"{label} depth={depth}", k=1)
+        except Exception as e:
+            print(f"{label} depth={depth}: FAILED {type(e).__name__}: {e}",
+                  flush=True)
+
+    new = dict(traversal_backend="binned", MaxPrims=128, leaf_chunk_lanes=128)
+    run("binned128+batch", 1, **new)
+    run("binned128+batch", 3, **new)
+    run("binned128+batch", 10, **new)
+    run("binned128+seq  ", 10, shadow_batch_lights=False, **new)
+    run("xla32+batch    ", 10, traversal_backend="xla",
+        MaxPrims=32, leaf_chunk_lanes=32)
+
+
 def main():
     sections = sys.argv[1:] or ["teapot", "phases", "backends"]
     for s in sections:
