@@ -5,22 +5,29 @@ Flagship workload (BASELINE.md): the reference scene recipe with the
 dragon-scale mesh (~870k tris, procedural stand-in for the stripped
 ``assets/dragon.obj``) at 1080p — 16 spheres + 6 walls + cylinder + 9 point
 lights, 10-bounce Whitted with shadowed Phong, kd-tree traversal — on one
-TPU chip.
+TPU chip.  Reference analogue: the wall time of the render loop at
+``src/main.cpp:371-396`` is the product's entire point.
 
-Metric: primary rays/sec over the FULL 1080p frame (every tile of the
-frame is rendered per repeat — no tile sampling, no spatial bias; a full
-frame is ~80ms so whole-frame timing is affordable).  Each primary ray
-spawns up to 10 bounces x (1 closest-hit + 9 shadow any-hits), so total
-ray casts/sec is up to ~100x this number.
+ALL timing is fetch-synchronized (the ground-truth protocol of
+``scripts/tpu_truth.py``).  On the axon relay runtime ``block_until_ready``
+returns before device compute finishes — executions queue lazily and only a
+device->host TRANSFER truly synchronizes — so any wall-clock taken around
+dispatch measures dispatch rate, not compute (BENCH_r01–r03 were dispatch
+fiction; see BASELINE.md "round-3 retraction").  Protocol:
 
-``vs_baseline`` compares against the round-2 full-frame measurement pinned
-in ``BASELINE_RAYS_PER_SEC`` (the reference itself publishes no numbers —
-SURVEY.md §6); >1.0 means faster than the pinned TPU build.
+    T(k) = wall[dispatch k frames -> fetch a checksum depending on all]
+    frame_seconds = (T(1+K) - T(1)) / K     # fetch overhead cancels
+
+The checksum carries the finite-check flag, so validity costs no extra
+fetch (a separate tiny fetch can stall on this runtime).  The protocol is
+calibrated against known-FLOPs matmul chains: it reports ~125 TFLOP/s on
+the v5e (plausible) where dispatch-rate timing implied 899 PFLOP/s.
 
 Usage:
   python bench.py            # flagship: dragon @1080p fwd, full frame
   python bench.py --small    # teapot @512x512 (smoke)
   python bench.py --grad     # dragon fwd+bwd (vertex-position gradients)
+  python bench.py --phases   # also emit per-phase honest attribution
 """
 
 from __future__ import annotations
@@ -28,26 +35,23 @@ from __future__ import annotations
 import json
 import os
 import sys
-import threading
 import time
 
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import functools
+
 import jax.numpy as jnp
 import numpy as np
 
-# Round-2 pinned measurement (primary rays/sec, 1 TPU v5e chip, dragon@1080p
-# fwd, FULL-frame timing, 2026-08-19). Update only when re-baselining is
-# explicitly intended.  The round-1 pin (27.98M) timed a 4-tile top-of-frame
-# sample — biased toward wall-only tiles; this pin times every tile.
-BASELINE_RAYS_PER_SEC = 26_000_000.0
-# Round-3 re-pin: the round-2 grad pin (3.6M) was measured with the scene
-# closure-captured in the jitted grad program — the exact HLO-constant
-# gotcha BASELINE.md documents (~250x slow).  With the scene passed as a
-# jit argument the same workload measures 24.5M rays/s fwd+bwd.
-BASELINE_RAYS_PER_SEC_GRAD = 24_000_000.0
+# Honest (fetch-synchronized) round-4 start-of-round pins, TPU v5e 1 chip,
+# full-frame dragon@1080p.  These replace the retracted dispatch-rate pins
+# (26M fwd / 24M grad — see BASELINE.md round-3 retraction).  Update only
+# when re-baselining is explicitly intended.
+BASELINE_RAYS_PER_SEC = 105_000.0
+BASELINE_RAYS_PER_SEC_GRAD = 70_000.0
 
 
 def build_flagship(small: bool, grad: bool = False):
@@ -55,17 +59,13 @@ def build_flagship(small: bool, grad: bool = False):
     from dod_raytracer_tpu.render import _FrozenConfig
     from dod_raytracer_tpu.scene import default_scene
 
-    # ray_tile=262144 (8 tiles @1080p): the lockstep traversal is
-    # per-iteration-overhead-bound at small batches — the r3 tilesize
-    # sweep (scripts/tpu_r3.py) measured the full dragon frame at
-    # 4.33 ms @16k-ray tiles vs 0.42 ms @262k, ~10x, with bit-identical
-    # output (scripts/tpu_tilecheck*.py).  The grad pass doubles the
-    # per-tile liveness (fwd residuals + bwd), so it runs 131072.
-    # MaxPrims/leaf_chunk_lanes=32 (256-tri leaf blocks): TPU-tuned tree
-    # shape — fat leaves are near-free on the MXU while every interior
-    # step pays a fixed-rate HBM row gather; measured +61% over the
-    # reference's CPU-tuned MaxPrims=8 on dragon@v5e (scripts/tpu_sweep.py)
-    rt = 131072 if grad else 262144
+    # ray_tile=0 -> _auto_ray_tile (262144 on TPU, 32768 elsewhere): the
+    # bench exercises the production auto path so the tuned value cannot
+    # silently drift from what users get (ADVICE r3).  The grad pass
+    # doubles per-tile liveness (fwd residuals + bwd), so it pins 131072.
+    # MaxPrims/leaf_chunk_lanes: TPU-tuned fat-leaf tree shape; honest
+    # re-sweep in scripts/tpu_truth2.py section_sweep.
+    rt = 131072 if grad else 0
     if small:
         cfg = Config(Width=512, Height=512, use_kdtree=True, ray_tile=rt,
                      MaxPrims=32, leaf_chunk_lanes=32)
@@ -79,59 +79,96 @@ def build_flagship(small: bool, grad: bool = False):
     return scene, frozen
 
 
-def _frame_tiles(cfg):
-    """All ray tiles of the frame, padded like render_image."""
-    from dod_raytracer_tpu.render import _padded_frame_rays
+@jax.jit
+def _checksum(parts):
+    """One (65536,) f32 array summarizing every output: [sum, finite].
 
-    return _padded_frame_rays(cfg)
+    Fetching it synchronizes with ALL the compute that produced ``parts``
+    (the only honest sync on this runtime) and folds the finite check into
+    the same transfer.  65536 f32 = 256 KB — above the relay's ~100 KB
+    small-transfer stall threshold."""
+    s = sum(jnp.sum(jnp.where(jnp.isfinite(p), p, 0.0).astype(jnp.float32))
+            for p in parts)
+    fin = jnp.stack([jnp.isfinite(p).all() for p in parts]).all()
+    row = jnp.stack([s, fin.astype(jnp.float32)])
+    return jnp.broadcast_to(row, (32768, 2)).reshape(65536)
 
 
-def bench_forward(scene, cfg, repeats=5):
-    """Primary rays/sec through the full integrator, whole 1080p frame.
+def _fetch_checksum(parts, what, timeout_s=3000.0):
+    from dod_raytracer_tpu.utils.fetch import guarded_device_get
 
-    Every repeat renders EVERY tile of the frame through the exact
-    dispatch structure render_image uses (in-program dynamic-slice
-    tiling, device-resident start offsets, capped in-flight pipeline),
-    so the number is the honest full-frame throughput — dragon-covering
-    center tiles and wall-only edge tiles at their true frequency, all
-    per-tile dispatch overhead included.
+    host = guarded_device_get(_checksum(parts), timeout_s=timeout_s, what=what)
+    return float(host[0]), bool(host[1] >= 0.5)
+
+
+def _truth_time(dispatch_k, label, budget_s=600.0):
+    """Honest seconds per frame via T(1+K)-T(1) checksum differencing.
+
+    ``dispatch_k(k)`` must dispatch k frames and return the flat list of
+    output arrays.  K adapts to the frame cost so the bench stays inside
+    ``budget_s`` while long frames still difference over >=1 extra frame.
     """
-    from dod_raytracer_tpu.render import render_frame_tiles, _tile_starts
+    t0 = time.perf_counter()
+    _fetch_checksum(dispatch_k(1), f"{label} warmup")  # compile + sync
+    warm = time.perf_counter() - t0
 
-    o, d, d_raw, n, tile, num_tiles = _frame_tiles(cfg)
+    t0 = time.perf_counter()
+    csum, fin1 = _fetch_checksum(dispatch_k(1), f"{label} T(1)")
+    t1 = time.perf_counter() - t0
+    # t1 upper-bounds the frame time (it includes one fetch); size K so the
+    # two differencing runs (3+3K frames total) stay inside budget_s
+    k = max(1, min(4, int(budget_s / 3.0 // max(t1, 1e-3))))
+    t0 = time.perf_counter()
+    _, fin_a = _fetch_checksum(dispatch_k(1 + k), f"{label} T(1+{k})")
+    ta = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _, fin_b = _fetch_checksum(dispatch_k(1 + 2 * k), f"{label} T(1+{2*k})")
+    tb = time.perf_counter() - t0
+    # two independent frame-time estimates; fetch overhead cancels in both
+    pa = max((ta - t1) / k, 1e-9)
+    pb = max((tb - ta) / k, 1e-9)
+    per = 0.5 * (pa + pb)
+    spread = abs(pa - pb) / per
+    return dict(frame_seconds=per, warmup_seconds=warm, t1=t1, k=k,
+                spread=spread, checksum=csum,
+                finite=(fin1 and fin_a and fin_b))
+
+
+def bench_forward(scene, cfg, budget_s=600.0):
+    """Honest full-frame forward: every tile of the 1080p frame, dispatched
+    exactly like ``render_image`` (in-program dynamic-slice tiling,
+    device-resident offsets, capped in-flight pipeline)."""
+    from dod_raytracer_tpu.render import (_padded_frame_rays, _tile_starts,
+                                          render_frame_tiles)
+
+    o, d, d_raw, n, tile, num_tiles = _padded_frame_rays(cfg)
     starts = _tile_starts(num_tiles, tile)
-    jax.block_until_ready([o, d, d_raw] + starts)
-    # warmup: compile + first full frame
-    outs = render_frame_tiles(scene, o, d, d_raw, starts, cfg, tile)
-    times = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        outs = render_frame_tiles(scene, o, d, d_raw, starts, cfg, tile)
-        times.append(time.perf_counter() - t0)
-    t = float(np.median(times))
-    spread = (max(times) - min(times)) / t
-    return n / t, t, spread, outs[-1]
+
+    def dispatch_k(k):
+        outs = []
+        for _ in range(k):
+            outs += render_frame_tiles(scene, o, d, d_raw, starts, cfg, tile)
+        return outs
+
+    r = _truth_time(dispatch_k, "fwd frame", budget_s)
+    r["rays_per_sec"] = n / r["frame_seconds"]
+    r["n_rays"] = n
+    return r
 
 
-def bench_grad(scene, cfg, repeats=3):
-    """Forward+backward throughput over the full frame: per-tile grad
-    accumulation fused into the tile program (donated accumulator), tiles
-    sliced on device — same dispatch structure as bench_forward.
+def bench_grad(scene, cfg, budget_s=600.0):
+    """Honest full-frame forward+backward (vertex-position gradients):
+    per-tile grad accumulation fused into the tile program (donated
+    accumulator), tiles sliced on device.
 
     Scene MUST be a jit argument, never a closure capture: closed-over
-    device arrays are embedded as HLO constants, which (a) force a
-    device->host fetch of the whole 870k-tri scene at lowering time
-    (minutes through the relay) and (b) re-materialize the constants per
-    execution (measured 17 s vs 0.7 ms per grad tile, BASELINE.md round-3
-    gotcha notes).
+    device arrays embed as HLO constants, re-materialized per execution
+    (measured 17 s vs 0.7 ms per grad tile — BASELINE.md round-2 gotcha).
     """
-    import functools
+    from dod_raytracer_tpu.render import render_rays, _tile_starts, _padded_frame_rays
 
-    from dod_raytracer_tpu.render import render_rays, _tile_starts
-
-    o, d, d_raw, n, tile, num_tiles = _frame_tiles(cfg)
+    o, d, d_raw, n, tile, num_tiles = _padded_frame_rays(cfg)
     starts = _tile_starts(num_tiles, tile)
-    jax.block_until_ready([o, d, d_raw] + starts)
 
     @functools.partial(jax.jit, static_argnames=("tile",),
                        donate_argnames=("g_acc", "total"))
@@ -147,93 +184,87 @@ def bench_grad(scene, cfg, repeats=3):
         val, g = jax.value_and_grad(f)(sc.triangles.verts)
         return g_acc + g, total + val
 
-    def full():
-        g_acc = jnp.zeros_like(scene.triangles.verts)
-        total = jnp.zeros((), jnp.float32)
-        for i, s in enumerate(starts):
-            g_acc, total = tile_grad(scene, o, d, d_raw, g_acc, total, s,
-                                     tile=tile)
-            if (i + 1) % 8 == 0:
-                # bound the dispatch queue (axon stalls on long unblocked
-                # queues); the chain is serial through g_acc anyway
-                total.block_until_ready()
-        jax.block_until_ready((g_acc, total))
-        return total, g_acc
+    def dispatch_k(k):
+        outs = []
+        for _ in range(k):
+            g_acc = jnp.zeros_like(scene.triangles.verts)
+            total = jnp.zeros((), jnp.float32)
+            for s in starts:
+                g_acc, total = tile_grad(scene, o, d, d_raw, g_acc, total, s,
+                                         tile=tile)
+            outs += [g_acc, total]
+        return outs
 
-    val, g = full()  # compile + warmup
-    times = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        val, g = full()
-        times.append(time.perf_counter() - t0)
-    t = float(np.median(times))
-    spread = (max(times) - min(times)) / t
-    return n / t, t, spread, val
+    r = _truth_time(dispatch_k, "fwd+bwd frame", budget_s)
+    r["rays_per_sec"] = n / r["frame_seconds"]
+    r["n_rays"] = n
+    return r
 
 
-def _guarded_finite_check(sample, timeout_s=120.0):
-    """Device->host fetch of a result sample, bounded in wall time.
+def bench_phases(scene, cfg):
+    """Optional per-phase honest attribution (closest / shadow / shade /
+    bounce) on one production-size tile — the observability hook that
+    makes a dispatch-fiction regression visible (VERDICT r3 item 7)."""
+    from dod_raytracer_tpu.intersect import closest_hit
+    from dod_raytracer_tpu.render import _padded_frame_rays, render_rays
+    from dod_raytracer_tpu.shading import light_visibility, lighting_factor
 
-    The axon relay's device-to-host transfer path can take minutes to
-    initialize (or stall outright) even though dispatch+block_until_ready
-    is fast — round 2's driver bench run died inside an eager
-    ``jnp.isnan(...).any()`` fetch after all timing had already finished
-    (BENCH_r02.json rc=124).  The check therefore runs on a daemon thread
-    with a hard timeout; "skipped" means the transfer path stalled, not
-    that the render failed.
-    """
-    result = {}
+    o, d, d_raw, n, tile, num_tiles = _padded_frame_rays(cfg)
+    mid = (num_tiles // 2) * tile
+    ot, dt, rt = (jnp.asarray(o[mid:mid + tile]), jnp.asarray(d[mid:mid + tile]),
+                  jnp.asarray(d_raw[mid:mid + tile]))
+    inf = jnp.full((tile,), jnp.inf)
 
-    def worker():
-        try:
-            # reduce ON DEVICE, then fetch through the stall-resistant
-            # broadcast path (tiny transfers stall on the relay runtime
-            # while ~100KB+ fetches complete — utils/fetch.py)
-            from dod_raytracer_tpu.utils.fetch import guarded_scalar_get
+    ch = jax.jit(lambda s, o, d: closest_hit(s, o, d, cfg, t_max=inf).t)
+    hit = jax.jit(lambda s, o, d: closest_hit(s, o, d, cfg, t_max=inf))(scene, ot, dt)
+    sh = jax.jit(lambda s, p: light_visibility(s, p, cfg))
+    fu = jax.jit(lambda s, o, d, r: render_rays(s, o, d, r, cfg))
 
-            flag = jax.jit(lambda x: jnp.isfinite(x).all())(sample)
-            result["ok"] = bool(guarded_scalar_get(
-                flag, timeout_s=timeout_s * 0.9, what="finite flag"))
-        except Exception as e:  # pragma: no cover - transfer-path failure
-            result["err"] = repr(e)
-
-    th = threading.Thread(target=worker, daemon=True)
-    th.start()
-    th.join(timeout_s)
-    if "ok" in result:
-        return "pass" if result["ok"] else "FAIL"
-    return "skipped" if th.is_alive() else result.get("err", "skipped")
+    out = {}
+    for label, fn, args in (
+            ("closest_hit", ch, (scene, ot, dt)),
+            ("shadow_pass", sh, (scene, hit.point)),
+            ("full_bounce10", fu, (scene, ot, dt, rt))):
+        r = _truth_time(lambda k, fn=fn, args=args:
+                        [jnp.ravel(fn(*args)).astype(jnp.float32)
+                         for _ in range(k)], label, budget_s=120.0)
+        out[label + "_ms"] = round(r["frame_seconds"] * 1e3, 2)
+    return out
 
 
 def main():
     small = "--small" in sys.argv
     grad = "--grad" in sys.argv
+    phases = "--phases" in sys.argv
     scene, cfg = build_flagship(small, grad)
     if grad:
-        rays_s, sec, spread, sample = bench_grad(scene, cfg)
+        r = bench_grad(scene, cfg)
         metric = "primary_rays_per_sec_fwd_bwd"
         base = BASELINE_RAYS_PER_SEC_GRAD
     else:
-        rays_s, sec, spread, sample = bench_forward(scene, cfg)
+        r = bench_forward(scene, cfg)
         metric = "primary_rays_per_sec_fwd"
         base = BASELINE_RAYS_PER_SEC
     if small:
         metric += "_teapot512"
-    vs = rays_s / base if base else 1.0
-    check = _guarded_finite_check(sample)
-    print(json.dumps({
+    out = {
         "metric": metric,
-        "value": round(rays_s, 1),
+        "value": round(r["rays_per_sec"], 1),
         "unit": "rays/s",
-        "vs_baseline": round(vs, 3),
-        "frame_seconds": round(sec, 4),
-        "rep_spread": round(spread, 3),
-        "finite_check": check,
-    }))
+        "vs_baseline": round(r["rays_per_sec"] / base, 3) if base else 1.0,
+        "frame_seconds": round(r["frame_seconds"], 4),
+        "rep_spread": round(r["spread"], 3),
+        "finite_check": "pass" if r["finite"] else "FAIL",
+        "timing": "fetch_synchronized_T(1+K)-T(1)",
+        "k": r["k"],
+    }
+    if phases:
+        out["phases"] = bench_phases(scene, cfg)
+    print(json.dumps(out))
     sys.stdout.flush()
     # Skip interpreter/runtime teardown: the relay-backed PJRT client can
     # hang on shutdown, turning a finished bench into an rc=124.
-    os._exit(0 if check != "FAIL" else 1)
+    os._exit(0 if r["finite"] else 1)
 
 
 if __name__ == "__main__":

@@ -40,12 +40,15 @@ class Config:
     stack_depth: int = 64  # traversal worklist depth (kdtree.cpp:279)
     use_kdtree: bool = True
     triangle_backend: str = "jnp"  # brute-force path: 'jnp' | 'pallas' | 'plucker'
-    # kd traversal backend: 'auto' resolves to the Pallas megakernel on TPU
-    # when the node table fits a ray tile, else the XLA wavefront loop;
-    # 'mega' on a big tree resolves to the treelet-forest kernel
-    traversal_backend: str = "auto"  # 'auto' | 'xla' | 'binned' | 'mega' | 'forest'
+    # kd traversal backend: 'auto' resolves to the packet megakernel on TPU
+    # (shared scalar descend per ray tile — packet_kernel.py), else the XLA
+    # wavefront loop; 'mega' on a big tree resolves to the treelet-forest
+    # kernel.  All backends return identical t/hit results; packet may
+    # resolve exact-t straddler ties to a different duplicate.
+    traversal_backend: str = "auto"  # 'auto'|'xla'|'packet'|'binned'|'mega'|'forest'
     treelet_cap: int = 0  # forest treelet node cap (0 = kernel MAX_NODES); 128-multiple
     forest_tile: int = 0  # forest kernel rays/tile (0 = kernel TILE default)
+    packet_tile: int = 0  # packet kernel rays/tile (0 = kernel TILE default, 128-mult)
     # rematerialize each bounce in the backward pass (jax.checkpoint):
     # trades a second forward sweep for not storing per-bounce residuals
     remat_bounces: bool = False

@@ -395,6 +395,51 @@ def _traverse_binned(kd, o, d, t_max, cfg, any_hit: bool):
     return out["t_best"][:n0], out["prim_best"][:n0], out["found"][:n0]
 
 
+def _traverse_packet(kd, o, d, t_max, cfg, any_hit: bool):
+    """Packet megakernel (packet_kernel.py): shared scalar descend per ray
+    tile, per-ray [tn, tx] interval masks, MXU Plücker leaf stage.  Visits
+    a superset of each ray's reference visit set, so t/hit results match
+    the per-ray walks exactly; equal-t straddler ties may resolve to a
+    different duplicate (see packet_kernel.py docstring)."""
+    from .pallas.mt_kernel import on_tpu
+    from .pallas.packet_kernel import TILE, packet_traverse
+    from .pallas.plucker_kernel import swizzle_rays_plucker
+
+    tile = int(getattr(cfg, "packet_tile", 0)) or TILE
+    n0 = o.shape[0]
+    pad = (-n0) % tile
+    if pad:
+        fill = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], o.dtype), (pad, 1))
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d = jnp.concatenate([d, fill])
+        t_max = jnp.concatenate([t_max, jnp.full((pad,), -1.0, t_max.dtype)])
+    n = o.shape[0]
+
+    inv_d = 1.0 / d
+    root_hit, tmin0, tmax0 = slab_test(kd.bounds_min, kd.bounds_max, o, inv_d, t_max)
+    active0 = root_hit & ~(tmin0 > t_max)
+
+    lanes = lambda v: v.reshape(n // 128, 128)
+    vec3 = lambda v: v.T.reshape(3, n // 128, 128)
+    rays, _ = swizzle_rays_plucker(o, d, tile)
+    blk0 = kd.node_leaf_start // kd.block_lanes
+    nblk = (kd.node_leaf_lanes + kd.block_lanes - 1) // kd.block_lanes
+    spad = kd.block_g.shape[2] // 5
+    orig = kd.block_orig
+    if orig.shape[1] != spad:
+        orig = jnp.pad(orig, ((0, 0), (0, spad - orig.shape[1])), constant_values=-1)
+
+    t_best, prim, found = packet_traverse(
+        kd.node_flag, kd.node_split, kd.node_right, blk0, nblk,
+        vec3(o), vec3(d), vec3(inv_d), lanes(tmin0), lanes(tmax0),
+        lanes(t_max.astype(jnp.float32)), lanes(active0.astype(jnp.int32)),
+        rays, kd.block_g, orig[:, None, :],
+        stack_depth=_stack_depth(kd, cfg), any_hit=any_hit,
+        interpret=not on_tpu(), tile=tile)
+    flat = lambda v: v.reshape(n)[:n0]
+    return flat(t_best), flat(prim), flat(found).astype(bool)
+
+
 def _traverse_mega(kd, o, d, t_max, cfg, any_hit: bool):
     """Whole-traversal Pallas megakernel (traverse_kernel.py) — valid when
     the node table fits a ray tile (M <= TILE); caller guards that."""
@@ -436,16 +481,18 @@ def _traverse_mega(kd, o, d, t_max, cfg, any_hit: bool):
 def _backend(kd, cfg):
     be = getattr(cfg, "traversal_backend", "xla")
     if be == "auto":
-        # Fetch-synchronized real-device measurement on v5e (BASELINE.md
-        # round 3; every earlier dispatch-side comparison was timing
-        # fiction): teapot closest-hit @16k rays — mega 5.9 ms vs
-        # brute 27.5 ms vs XLA walk 109 ms; dragon closest-hit @16k —
-        # binned 43.7 ms vs forest 86 ms vs XLA 114 ms vs brute 2.9 s.
-        # So 'auto' = megakernel when the node table fits VMEM, else the
-        # binned block-loop leaf stage; XLA gather walk off-TPU.
+        # Fetch-synchronized real-device measurements on v5e (BASELINE.md
+        # round 4; every dispatch-side comparison before commit 4430169
+        # was timing fiction): the packet kernel's shared scalar descend
+        # beats every per-ray walk (r3-era honest: teapot mega 5.9 ms,
+        # dragon binned 43.7 ms per 16k-ray closest-hit; packet removes
+        # the per-ray node-state cost those pay).  XLA gather walk
+        # off-TPU.
         from .pallas.mt_kernel import on_tpu
 
-        be = "mega" if on_tpu() else "xla"
+        be = "packet" if on_tpu() else "xla"
+    if be == "packet" and kd.block_g is None:
+        return "xla"
     if be in ("mega", "forest"):
         from .pallas.traverse_kernel import MAX_NODES
 
@@ -509,7 +556,9 @@ def kd_closest(kd, triangles, o, d, t_max, cfg):
     d_s = jax.lax.stop_gradient(d)
     t_s = jax.lax.stop_gradient(t_max)
     be = _backend(kd, cfg)
-    if be == "binned":
+    if be == "packet":
+        t_best, prim, found = _traverse_packet(kd, o_s, d_s, t_s, cfg, any_hit=False)
+    elif be == "binned":
         t_best, prim, found = _traverse_binned(kd, o_s, d_s, t_s, cfg, any_hit=False)
     elif be == "mega":
         t_best, prim, found = _traverse_mega(kd, o_s, d_s, t_s, cfg, any_hit=False)
@@ -527,7 +576,9 @@ def kd_any(kd, triangles, o, d, t_max, cfg):
     d_s = jax.lax.stop_gradient(d)
     t_s = jax.lax.stop_gradient(t_max)
     be = _backend(kd, cfg)
-    if be == "binned":
+    if be == "packet":
+        _, _, found = _traverse_packet(kd, o_s, d_s, t_s, cfg, any_hit=True)
+    elif be == "binned":
         _, _, found = _traverse_binned(kd, o_s, d_s, t_s, cfg, any_hit=True)
     elif be == "mega":
         _, _, found = _traverse_mega(kd, o_s, d_s, t_s, cfg, any_hit=True)

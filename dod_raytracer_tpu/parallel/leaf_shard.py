@@ -180,9 +180,6 @@ def make_leaf_sharded_scene(builder, cfg, ndev: int) -> Scene:
 def scene_specs(scene: Scene, axis: str):
     """in_spec pytree: triangle/kd array leaves sharded on ``axis`` along
     their leading device dim, everything else replicated."""
-    def spec_for(path_leaf, sharded):
-        return P(axis) if sharded else P()
-
     tri_spec = jax.tree_util.tree_map(lambda _: P(axis), scene.triangles)
     kd_spec = jax.tree_util.tree_map(lambda _: P(axis), scene.kd)
     rest = jax.tree_util.tree_map(lambda _: P(), scene)

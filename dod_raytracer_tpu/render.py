@@ -133,8 +133,11 @@ def _auto_ray_tile(n: int) -> int:
     tests/test_render_golden.py::test_tiling_invariance).  262144 keeps
     the (tile, 256, 9) leaf-block gather ~2.4 GB — comfortable in 16 GB
     HBM even with the fused grad tile.  On CPU/GPU hosts stay small so
-    tests and laptops bound their working set."""
-    if jax.default_backend() not in ("cpu",):
+    tests and laptops bound their working set (the XLA path's leaf-block
+    gather is ~2.4 GB at 262144 rays — an OOM on consumer GPUs)."""
+    from .ops.pallas.mt_kernel import on_tpu
+
+    if on_tpu():
         return min(262144, n)
     return min(32768, n)
 

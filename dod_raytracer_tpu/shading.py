@@ -59,8 +59,16 @@ def light_visibility(scene, points, cfg, active=None, relevant=None) -> jnp.ndar
         kill0 |= ~active
 
     batch = getattr(cfg, "shadow_batch_lights", None)
-    if batch is None:  # auto: fixed-overhead-bound backends benefit
-        batch = jax.default_backend() != "cpu"
+    if batch is None:
+        # auto: batch only where the Pallas traversal backends are
+        # available (TPU) — they stream leaf blocks through VMEM so the
+        # L*N wavefront costs no extra transient memory.  On CPU/GPU the
+        # XLA gather path's (L*N, S, 9) leaf gather would blow memory
+        # (~21 GB at flagship shapes), so keep the sequential per-light
+        # walk there (same predicate as ops/traverse._backend).
+        from .ops.pallas.mt_kernel import on_tpu
+
+        batch = on_tpu()
     if batch:
         lp = scene.lights.position  # (L, 3)
         L, n = lp.shape[0], points.shape[0]

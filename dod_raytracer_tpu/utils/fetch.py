@@ -58,12 +58,15 @@ def guarded_scalar_get(x, timeout_s: float = 600.0, what: str = "scalar"):
     """Fetch a device scalar through the stall-resistant path.
 
     The relay runtime stalls on tiny transfers while ~100 KB+ fetches
-    complete, so the scalar is broadcast on device to a (65536,) array
-    (256 KB f32) and one element of the host copy is returned.
+    complete, so the scalar is cast to f32 (a bool/int scalar broadcast
+    alone would stay under the ~100 KB stall threshold) and broadcast on
+    device to a (65536,) array (256 KB); one element of the host copy is
+    returned, cast back to the input dtype.
     """
     import jax
     import jax.numpy as jnp
 
-    arr = jax.jit(lambda s: jnp.broadcast_to(jnp.asarray(s), (65536,)))(x)
+    arr = jax.jit(lambda s: jnp.broadcast_to(
+        jnp.asarray(s).astype(jnp.float32), (65536,)))(x)
     host = guarded_device_get(arr, timeout_s=timeout_s, what=what)
-    return host[0]
+    return x.dtype.type(host[0]) if hasattr(x, "dtype") else host[0]
