@@ -7,6 +7,11 @@ the external C++ dependency:
 
 * ``load_obj``       — minimal OBJ parser (v / vn / f with fan
   triangulation of polygons == aiProcess_Triangulate).
+* ``load_ply``       — PLY parser (ascii + binary little/big endian),
+  matching the reference build's enabled assimp importer set
+  (CMakeLists.txt:36-46 enables OBJ, PLY and Blend; .blend is a
+  closed Blender dump only assimp's vendored reader understands and no
+  reference asset uses it — out of scope, documented gap).
 * ``join_identical`` — exact-position vertex dedup (JoinIdenticalVertices).
 * ``smooth_normals`` — per-vertex average of adjacent normalized face
   normals (GenSmoothNormals with the default all-smoothing angle).
@@ -80,6 +85,110 @@ def load_obj(path: str, use_native: bool = True):
     return v, fc, vn
 
 
+_PLY_TYPES = {
+    "char": "i1", "int8": "i1", "uchar": "u1", "uint8": "u1",
+    "short": "i2", "int16": "i2", "ushort": "u2", "uint16": "u2",
+    "int": "i4", "int32": "i4", "uint": "u4", "uint32": "u4",
+    "float": "f4", "float32": "f4", "double": "f8", "float64": "f8",
+}
+
+
+def load_ply(path: str):
+    """Parse a PLY file -> (verts (V,3) f32, faces (F,3) i32, vn or None).
+
+    Handles ``format ascii/binary_little_endian/binary_big_endian 1.0``,
+    arbitrary per-vertex property order (x/y/z picked out; nx/ny/nz kept
+    when present), and list-typed face properties with fan triangulation
+    of polygons (aiProcess_Triangulate equivalent).
+    """
+    with open(path, "rb") as f:
+        if f.readline().strip() != b"ply":
+            raise ValueError(f"{path}: not a PLY file")
+        fmt = None
+        elements = []  # (name, count, [(prop_name, dtype) | ('list', ct, it)])
+        while True:
+            line = f.readline()
+            if not line:
+                raise ValueError(f"{path}: unterminated PLY header")
+            parts = line.decode("ascii", "replace").split()
+            if not parts or parts[0] == "comment":
+                continue
+            if parts[0] == "format":
+                fmt = parts[1]
+            elif parts[0] == "element":
+                elements.append((parts[1], int(parts[2]), []))
+            elif parts[0] == "property":
+                if parts[1] == "list":
+                    elements[-1][2].append((parts[4], "list", parts[2], parts[3]))
+                else:
+                    elements[-1][2].append((parts[2], parts[1]))
+            elif parts[0] == "end_header":
+                break
+        if fmt not in ("ascii", "binary_little_endian", "binary_big_endian"):
+            raise ValueError(f"{path}: unsupported PLY format {fmt!r}")
+        endian = "<" if fmt != "binary_big_endian" else ">"
+
+        verts = normals = None
+        faces = []
+        for name, count, props in elements:
+            if name == "vertex":
+                names = [p[0] for p in props]
+                if any(p[1] == "list" for p in props):
+                    raise ValueError(f"{path}: list property on vertex element")
+                if fmt == "ascii":
+                    rows = np.loadtxt(
+                        [f.readline() for _ in range(count)],
+                        dtype=np.float64, ndmin=2)
+                else:
+                    dt = np.dtype([(p[0], endian + _PLY_TYPES[p[1]])
+                                   for p in props])
+                    raw = np.frombuffer(f.read(dt.itemsize * count), dtype=dt)
+                    rows = np.stack([raw[n].astype(np.float64) for n in names],
+                                    axis=1)
+                idx = {n: i for i, n in enumerate(names)}
+                verts = rows[:, [idx["x"], idx["y"], idx["z"]]].astype(np.float32)
+                if all(k in idx for k in ("nx", "ny", "nz")):
+                    normals = rows[:, [idx["nx"], idx["ny"], idx["nz"]]].astype(np.float32)
+            elif name == "face":
+                list_props = [p for p in props if p[1] == "list"]
+                if not list_props:
+                    raise ValueError(f"{path}: face element has no list property")
+                if fmt != "ascii" and len(props) != 1:
+                    raise ValueError(
+                        f"{path}: extra binary face properties unsupported")
+                for _ in range(count):
+                    if fmt == "ascii":
+                        nums = f.readline().split()
+                        k = int(nums[0])
+                        idx = [int(x) for x in nums[1:1 + k]]
+                    else:
+                        cnt_t = endian + _PLY_TYPES[list_props[0][2]]
+                        idx_t = endian + _PLY_TYPES[list_props[0][3]]
+                        k = int(np.frombuffer(
+                            f.read(np.dtype(cnt_t).itemsize), dtype=cnt_t)[0])
+                        idx = np.frombuffer(
+                            f.read(np.dtype(idx_t).itemsize * k), dtype=idx_t)
+                    for j in range(1, k - 1):  # fan triangulation
+                        faces.append((int(idx[0]), int(idx[j]), int(idx[j + 1])))
+            else:
+                # skip unknown elements (ascii: line-per-row; binary: fixed)
+                if fmt == "ascii":
+                    for _ in range(count):
+                        f.readline()
+                else:
+                    if any(p[1] == "list" for p in props):
+                        raise ValueError(
+                            f"{path}: cannot skip binary list element {name!r}")
+                    dt = np.dtype([(p[0], endian + _PLY_TYPES[p[1]])
+                                   for p in props])
+                    f.read(dt.itemsize * count)
+    if verts is None:
+        raise ValueError(f"{path}: PLY file has no vertex element")
+    fc = np.asarray(faces, np.int32).reshape(-1, 3)
+    vn = normals[fc] if normals is not None else None  # (F,3,3) like load_obj
+    return verts, fc, vn
+
+
 def join_identical(verts: np.ndarray, faces: np.ndarray):
     """Merge exactly-coincident vertices (aiProcess_JoinIdenticalVertices)."""
     uniq, inverse = np.unique(verts, axis=0, return_inverse=True)
@@ -114,8 +223,10 @@ def mesh_to_triangles(verts: np.ndarray, faces: np.ndarray, vertex_normals: np.n
 
 
 def load_mesh(path: str):
-    """Full assimp-equivalent pipeline for one OBJ file."""
-    verts, faces, vn_per_face = load_obj(path)
+    """Full assimp-equivalent pipeline for one OBJ/PLY file (format picked
+    by extension, matching the reference's enabled importer set)."""
+    loader = load_ply if path.lower().endswith(".ply") else load_obj
+    verts, faces, vn_per_face = loader(path)
     if vn_per_face is not None:
         return verts[faces].astype(np.float32), vn_per_face.astype(np.float32)
     verts, faces = join_identical(verts, faces)

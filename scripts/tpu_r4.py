@@ -1,0 +1,230 @@
+"""Round-4 packet-kernel measurements (fetch-synchronized, real device).
+
+Sections (run: python scripts/tpu_r4.py [section ...]):
+  exact    : packet vs binned vs xla on a dragon center tile (fetch first,
+             while the transfer path is fresh)
+  packet   : closest / any-hit / bounce / 10-bounce honest times for the
+             packet backend on dragon center tiles, vs binned
+  sweep    : packet_tile x tree shape (MaxPrims) honest sweep
+  teapot   : teapot closest-hit packet vs mega
+  frame    : honest full-frame dragon@1080p with the packet flagship config
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def fetch(x, what, timeout_s=1800.0):
+    from dod_raytracer_tpu.utils.fetch import guarded_device_get
+
+    return guarded_device_get(x, timeout_s=timeout_s, what=what)
+
+
+@jax.jit
+def _checksum(parts):
+    s = sum(jnp.sum(jnp.where(jnp.isfinite(p), p, 0.0).astype(jnp.float32))
+            for p in parts)
+    return jnp.broadcast_to(s, (65536,))
+
+
+def truth_time(fn, args_list, label, k=4):
+    def run(count):
+        outs = []
+        for i in range(count):
+            r = fn(*args_list[i % len(args_list)])
+            outs.extend(jax.tree_util.tree_leaves(r))
+        t0 = time.perf_counter()
+        fetch(_checksum(outs), f"{label} checksum")
+        return time.perf_counter() - t0
+
+    run(1)  # compile + warm
+    t1 = run(1)
+    tk = run(1 + k)
+    per = (tk - t1) / k
+    print(f"{label}: {per*1e3:9.2f} ms/call  (T1 {t1:.2f}s, T{1+k} {tk:.2f}s)",
+          flush=True)
+    return per
+
+
+def flagship_scene(mesh="dragon", **over):
+    from dod_raytracer_tpu.config import Config
+    from dod_raytracer_tpu.render import _FrozenConfig
+    from dod_raytracer_tpu.scene import default_scene
+
+    kw = dict(Width=1920, Height=1080, use_kdtree=True, ray_tile=16384,
+              MaxPrims=32, leaf_chunk_lanes=32)
+    kw.update(over)
+    cfg = Config(**kw)
+    frozen = _FrozenConfig.from_config(cfg)
+    scene = default_scene(seed=0, cfg=cfg, mesh=mesh).build(cfg)
+    return scene, frozen
+
+
+def center_tiles(frozen, k=4):
+    from dod_raytracer_tpu.render import _padded_frame_rays
+
+    o, d, d_raw, n, tile, num_tiles = _padded_frame_rays(frozen)
+    mid = num_tiles // 2
+    lo = max(0, mid - k // 2)
+    outs = []
+    for i in range(lo, lo + k):
+        sl = slice(i * tile, (i + 1) * tile)
+        outs.append((jnp.asarray(o[sl]), jnp.asarray(d[sl]),
+                     jnp.asarray(d_raw[sl])))
+    return outs, tile
+
+
+def section_exact():
+    from dod_raytracer_tpu.ops.traverse import kd_any, kd_closest
+
+    scene, fzp = flagship_scene(traversal_backend="packet")
+    _, fzb = flagship_scene(traversal_backend="binned")
+    tiles, tile = center_tiles(fzp, k=1)
+    o, d, _ = tiles[0]
+    inf = jnp.full((tile,), jnp.inf)
+
+    tp, pp, hp = jax.jit(lambda s, o, d: kd_closest(s.kd, s.triangles, o, d, inf, fzp))(scene, o, d)
+    tb, pb, hb = jax.jit(lambda s, o, d: kd_closest(s.kd, s.triangles, o, d, inf, fzb))(scene, o, d)
+    ap = jax.jit(lambda s, o, d: kd_any(s.kd, s.triangles, o, d, jnp.full((tile,), 8.0), fzp))(scene, o, d)
+    ab = jax.jit(lambda s, o, d: kd_any(s.kd, s.triangles, o, d, jnp.full((tile,), 8.0), fzb))(scene, o, d)
+    hp_, hb_ = np.asarray(hp), np.asarray(hb)
+    both = hp_ & hb_
+    flips = int((np.asarray(pp)[both] != np.asarray(pb)[both]).sum())
+    dt = np.abs(np.asarray(tp)[both] - np.asarray(tb)[both])
+    print(f"exact: hits {hp_.sum()}/{tile} mask_match={(hp_ == hb_).all()} "
+          f"prim_flips={flips}/{int(both.sum())} max|dt|={dt.max():.2e} "
+          f"anyhit_match={(np.asarray(ap) == np.asarray(ab)).all()}", flush=True)
+
+
+def section_packet():
+    from dod_raytracer_tpu.intersect import closest_hit, occluded
+    from dod_raytracer_tpu.render import render_rays
+    from dod_raytracer_tpu.shading import lighting_factor
+
+    for be, over in (("packet", {"traversal_backend": "packet"}),
+                     ("binned", {"traversal_backend": "binned"})):
+        scene, fz = flagship_scene(**over)
+        tiles, tile = center_tiles(fz)
+        inf = jnp.full((tile,), jnp.inf)
+
+        @jax.jit
+        def ch(scene, o, d):
+            return closest_hit(scene, o, d, fz, t_max=inf).t
+
+        @jax.jit
+        def occ(scene, o, d):
+            return occluded(scene, o, d, jnp.full((tile,), 8.0), fz)
+
+        @jax.jit
+        def bounce(scene, o, d, d_raw):
+            hit = closest_hit(scene, o, d, fz, t_max=inf)
+            return lighting_factor(scene, hit.point, hit.normal, d_raw, fz,
+                                   hit.mask)
+
+        @jax.jit
+        def full(scene, o, d, d_raw):
+            return render_rays(scene, o, d, d_raw, fz)
+
+        truth_time(ch, [(scene, o, d) for (o, d, _) in tiles],
+                   f"dragon ch        [{be}] 16k", k=4)
+        truth_time(occ, [(scene, o, d) for (o, d, _) in tiles],
+                   f"dragon occluded  [{be}] 16k", k=4)
+        truth_time(bounce, [(scene, o, d, r) for (o, d, r) in tiles],
+                   f"dragon bounce    [{be}] 16k", k=2)
+        truth_time(full, [(scene, o, d, r) for (o, d, r) in tiles],
+                   f"dragon 10-bounce [{be}] 16k", k=1)
+
+
+def section_sweep():
+    from dod_raytracer_tpu.intersect import closest_hit
+
+    for pt, mp in ((512, 32), (1024, 32), (2048, 32),
+                   (1024, 16), (1024, 64), (1024, 128)):
+        try:
+            scene, fz = flagship_scene(
+                traversal_backend="packet", packet_tile=pt,
+                MaxPrims=mp, leaf_chunk_lanes=mp)
+            tiles, tile = center_tiles(fz, k=2)
+            inf = jnp.full((tile,), jnp.inf)
+
+            @jax.jit
+            def ch(scene, o, d):
+                return closest_hit(scene, o, d, fz, t_max=inf).t
+
+            per = truth_time(ch, [(scene, o, d) for (o, d, _) in tiles],
+                             f"dragon ch [packet pt={pt} mp={mp}]", k=2)
+            print(f"   -> {tile/per/1e6:.2f} M casts/s", flush=True)
+        except Exception as e:
+            print(f"dragon ch [packet pt={pt} mp={mp}]: FAILED "
+                  f"{type(e).__name__}: {e}", flush=True)
+
+
+def section_teapot():
+    from dod_raytracer_tpu.intersect import closest_hit
+
+    for be, over in (("packet", {"traversal_backend": "packet"}),
+                     ("mega", {"traversal_backend": "mega"})):
+        scene, fz = flagship_scene(mesh="teapot", Width=512, Height=512, **over)
+        tiles, tile = center_tiles(fz)
+        inf = jnp.full((tile,), jnp.inf)
+
+        @jax.jit
+        def ch(scene, o, d):
+            return closest_hit(scene, o, d, fz, t_max=inf).t
+
+        truth_time(ch, [(scene, o, d) for (o, d, _) in tiles],
+                   f"teapot ch [{be}] 16k", k=4)
+
+
+def section_frame():
+    from dod_raytracer_tpu.render import (_padded_frame_rays, _tile_starts,
+                                          render_frame_tiles)
+
+    scene, fz = flagship_scene(traversal_backend="packet", ray_tile=262144)
+    o, d, d_raw, n, rtile, num_tiles = _padded_frame_rays(fz)
+    starts = _tile_starts(num_tiles, rtile)
+
+    def frame(k):
+        outs = []
+        for _ in range(k):
+            outs += render_frame_tiles(scene, o, d, d_raw, starts, fz, rtile)
+        return outs
+
+    t0 = time.perf_counter()
+    fetch(_checksum(frame(1)), "frame warm")
+    print(f"frame warm(compile+1) {time.perf_counter()-t0:.1f}s", flush=True)
+    t0 = time.perf_counter()
+    fetch(_checksum(frame(1)), "frame T1")
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    fetch(_checksum(frame(2)), "frame T2")
+    t2 = time.perf_counter() - t0
+    per = t2 - t1
+    print(f"packet FULL FRAME: {per:.2f}s -> {n/per/1e6:.3f} M rays/s "
+          f"(T1 {t1:.1f}s, T2 {t2:.1f}s)", flush=True)
+
+
+def main():
+    sections = sys.argv[1:] or ["exact", "packet"]
+    for s in sections:
+        print(f"--- {s} ---", flush=True)
+        try:
+            globals()[f"section_{s}"]()
+        except Exception as e:
+            print(f"section {s} FAILED: {type(e).__name__}: {e}", flush=True)
+    os._exit(0)
+
+
+if __name__ == "__main__":
+    main()
