@@ -49,6 +49,9 @@ class Config:
     treelet_cap: int = 0  # forest treelet node cap (0 = kernel MAX_NODES); 128-multiple
     forest_tile: int = 0  # forest kernel rays/tile (0 = kernel TILE default)
     packet_tile: int = 0  # packet kernel rays/tile (0 = kernel TILE default, 128-mult)
+    # frame rays in 8x128 screen-block order (compact per-packet frustums
+    # for the packet traversal); auto-disabled when W/H don't divide
+    block_ray_order: bool = True
     # rematerialize each bounce in the backward pass (jax.checkpoint):
     # trades a second forward sweep for not storing per-bounce residuals
     remat_bounces: bool = False

@@ -142,12 +142,44 @@ def _auto_ray_tile(n: int) -> int:
     return min(32768, n)
 
 
+# Screen-block ray order: packets of 8 rows x 128 cols of pixels instead
+# of row-major 1 x tile slivers.  A 1024-ray packet then covers a compact
+# 8x128-pixel frustum, which shrinks the union visit set of the packet
+# traversal (packet_kernel.py) — the TPU analogue of the reference's
+# row-block-per-thread decomposition staying cache-local (main.cpp:371-394).
+_BLOCK_H, _BLOCK_W = 8, 128
+
+
+def _block_order(frozen) -> bool:
+    return (getattr(frozen, "block_ray_order", True)
+            and frozen.Width % _BLOCK_W == 0 and frozen.Height % _BLOCK_H == 0)
+
+
+def _to_block_order(v, h: int, w: int):
+    """(H*W, C) row-major -> screen-block-major (pure reshape/transpose —
+    no gathers; exactly invertible by _from_block_order)."""
+    c = v.shape[-1]
+    v = v.reshape(h // _BLOCK_H, _BLOCK_H, w // _BLOCK_W, _BLOCK_W, c)
+    return v.transpose(0, 2, 1, 3, 4).reshape(h * w, c)
+
+
+def _from_block_order(v, h: int, w: int):
+    c = v.shape[-1]
+    v = v.reshape(h // _BLOCK_H, w // _BLOCK_W, _BLOCK_H, _BLOCK_W, c)
+    return v.transpose(0, 2, 1, 3, 4).reshape(h * w, c)
+
+
 def _padded_frame_rays(frozen):
     """Frame primary rays padded to a tile multiple: (o, d, d_raw, n, tile,
-    num_tiles).  Padding rays point down +z from the origin (any unit-ish
-    dir works; their output rows are dropped)."""
+    num_tiles).  Rays are in screen-block order when the frame divides into
+    8x128 pixel blocks (see _block_order); ``render_image`` inverts the
+    order on the rendered colors.  Padding rays point down +z from the
+    origin (any unit-ish dir works; their output rows are dropped)."""
     o, d, d_raw = primary_rays(frozen.Width, frozen.Height)
     n = o.shape[0]
+    if _block_order(frozen):
+        d = _to_block_order(d, frozen.Height, frozen.Width)
+        d_raw = _to_block_order(d_raw, frozen.Height, frozen.Width)
     tile = min(frozen.ray_tile, n) if frozen.ray_tile else _auto_ray_tile(n)
     pad = (-n) % tile
     if pad:
@@ -194,7 +226,10 @@ def render_image(scene, cfg: Config) -> jnp.ndarray:
     starts = _tile_starts(num_tiles, tile)
     outs = render_frame_tiles(scene, o, d, d_raw, starts, frozen, tile)
     colors = outs[0] if num_tiles == 1 else jnp.concatenate(outs, axis=0)
-    return colors[:n].reshape(frozen.Height, frozen.Width, 3)
+    colors = colors[:n]
+    if _block_order(frozen):
+        colors = _from_block_order(colors, frozen.Height, frozen.Width)
+    return colors.reshape(frozen.Height, frozen.Width, 3)
 
 
 def quantize_u8(img: jnp.ndarray, fetch_timeout_s: float = 1800.0) -> np.ndarray:

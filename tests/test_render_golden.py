@@ -158,3 +158,21 @@ def test_shadow_batch_lights_identical():
 
     np.testing.assert_array_equal(vis[0], vis[1])  # bits: exact
     np.testing.assert_allclose(imgs[0], imgs[1], atol=5e-3)
+
+
+def test_block_ray_order_identical():
+    """Screen-block ray order (8x128 packet frustums) is a pure exact
+    permutation of the wavefront: render_image output must be bit-identical
+    to row-major order (each ray's computation is independent)."""
+    import numpy as np
+
+    from dod_raytracer_tpu import Config, render_image
+    from dod_raytracer_tpu.scene import default_scene
+
+    imgs = []
+    for block in (False, True):
+        cfg = Config(Width=128, Height=16, use_kdtree=False, ray_tile=512,
+                     block_ray_order=block)
+        scene = default_scene(seed=5, cfg=cfg, mesh=None).build(cfg)
+        imgs.append(np.asarray(render_image(scene, cfg)))
+    np.testing.assert_array_equal(imgs[0], imgs[1])
