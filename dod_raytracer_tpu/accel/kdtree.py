@@ -110,4 +110,11 @@ def refresh_kd_blocks(kd: KDArrays, tri_verts) -> KDArrays:
     e1 = verts[..., 1, :] - A
     e2 = verts[..., 2, :] - A
     rows = jnp.concatenate([A, e1, e2], axis=-1)  # (B, S, 9)
-    return kd.replace(block_tris=rows, block_g=pack_block_g(verts))
+    # per-block vertex AABB for the packet kernel's pre-DMA prune; empty
+    # slots get [+inf, -inf] so they never extend the box
+    vmask = (orig >= 0)[..., None, None]
+    vmin = jnp.where(vmask, verts, jnp.inf).min(axis=(1, 2))   # (B, 3)
+    vmax = jnp.where(vmask, verts, -jnp.inf).max(axis=(1, 2))  # (B, 3)
+    aabb = jnp.concatenate([vmin, vmax], axis=1).T  # (6, B)
+    return kd.replace(block_tris=rows, block_g=pack_block_g(verts),
+                      block_aabb=aabb)

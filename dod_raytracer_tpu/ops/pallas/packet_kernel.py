@@ -17,8 +17,12 @@ TOGETHER with ONE scalar node cursor and ONE scalar stack pointer:
   * per-ray divergence is carried as (TR//128, 128) interval vectors
     [tn, tx] — full-width VPU registers (the per-ray walks' (TILE, 1)
     state uses 1 of 128 lanes);
-  * a leaf is one contiguous block DMA + one (TR,16)x(16,5*Spad) Plücker
-    MXU matmul against the whole tile, folded with per-ray validity.
+  * a leaf block is pre-screened against its VERTEX AABB (tighter than
+    the kd cell; 6 scalar SMEM reads + ~20 VPU ops) and only then pays
+    the HBM DMA + (TR,16)x(16,5*Spad) Plücker MXU matmul;
+  * block DMAs run through a 2-slot pending pipeline: a block's transfer
+    overlaps the PREVIOUS block's matmul/fold and any descend steps in
+    between, so DMA latency is hidden behind compute.
 
 Visit-set semantics: the packet visits the UNION of the nodes its rays
 would visit individually (a ray's segment-vs-cell overlap decides its
@@ -33,12 +37,12 @@ kdtree.cpp:334-344); tests accept prim flips only where both candidates'
 t agree exactly (tests/test_packet.py).
 
 Any-hit mode keeps full blocking semantics (blocked iff ANY triangle hits
-strictly before t_max) and stops per-ray work on the first hit; the tile
-exits once every ray is done.
+strictly before t_max); rays stop accumulating once hit, and the walk
+drains as soon as no live ray remains.
 
 NaN edges (split == o_ax with inv_ax = +-inf => t_plane = NaN) are handled
-conservatively: all interval tests are written so NaN keeps the ray alive
-and visiting both children — a superset of the reference's visit set,
+conservatively: every interval/AABB test is written so NaN keeps the ray
+alive and the block processed — a superset of the reference's visit set,
 never a subset.
 """
 
@@ -56,7 +60,7 @@ _INF = float("inf")
 TILE = 1024  # rays per packet: per-ray state is (TILE//128, 128) = full vregs
 
 
-def _kernel(flag_s, split_s, right_s, blk0_s, nblk_s,
+def _kernel(flag_s, split_s, right_s, blk0_s, nblk_s, aabb_s,
             o_ref, d_ref, invd_ref, tmin_ref, tmax_ref, clip_ref, act_ref,
             rays_ref, g_hbm, orig_hbm,
             t_ref, prim_ref, found_ref,
@@ -66,6 +70,8 @@ def _kernel(flag_s, split_s, right_s, blk0_s, nblk_s,
     r16 = rays_ref[:]                   # (TR, 16) Plücker rows
     clip0 = clip_ref[:]                 # per-ray t_max (R8, 128)
     act0 = act_ref[:] != 0
+    ox, oy, oz = o_ref[0], o_ref[1], o_ref[2]
+    ivx, ivy, ivz = invd_ref[0], invd_ref[1], invd_ref[2]
 
     # ---- init persistent per-ray state ----
     t_ref[:] = clip0                    # t_best starts at the clip
@@ -75,76 +81,123 @@ def _kernel(flag_s, split_s, right_s, blk0_s, nblk_s,
     tn_ref[:] = tmin_ref[:]
     tx_ref[:] = tmax_ref[:]
 
-    def alive_mask(tn, tx):
+    def alive_mask():
         """Rays whose current interval may still contain a closer hit.
         NaN-conservative: every comparison keeps NaN rays alive."""
+        tn = tn_ref[:]
         clip = jnp.minimum(t_ref[:], clip0)
-        return (done_ref[:] == 0) & ~(tx < tn) & ~(clip < tn)
+        return (done_ref[:] == 0) & ~(tx_ref[:] < tn) & ~(clip < tn)
 
     def axis_of(v_ref, axis):
         return jax.lax.switch(axis, [lambda: v_ref[0], lambda: v_ref[1],
                                      lambda: v_ref[2]])
 
-    # ---------------- leaf: process one node's blocks ----------------
-    def leaf_fn(node):
+    # ---------------- pending-block DMA pipeline ----------------
+    def dma_pair(blk, slot):
+        return (pltpu.make_async_copy(g_hbm.at[blk], g_vmem.at[slot],
+                                      sem_g.at[slot]),
+                pltpu.make_async_copy(orig_hbm.at[blk], orig_vmem.at[slot],
+                                      sem_o.at[slot]))
+
+    def process(blk, slot):
+        """Wait the slot's DMA, intersect the whole tile vs the block,
+        fold per-ray minima (strict improvement vs current clip)."""
+        cg, co = dma_pair(blk, slot)
+        cg.wait()
+        co.wait()
+        out = jnp.dot(r16, g_vmem[slot], preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)  # (TR, 5*Spad)
+        s0 = out[:, 0 * spad:1 * spad]
+        s1 = out[:, 1 * spad:2 * spad]
+        s2 = out[:, 2 * spad:3 * spad]
+        den = out[:, 3 * spad:4 * spad]
+        num = out[:, 4 * spad:5 * spad]
+
+        orig = orig_vmem[slot, 0]       # (Spad,) i32
+        pos = (s0 > 0.0) & (s1 > 0.0) & (s2 > 0.0)
+        neg = (s0 < 0.0) & (s1 < 0.0) & (s2 < 0.0)
+        valid = (pos | neg) & (den != 0.0) & (orig >= 0)[None, :]
+        t = jnp.where(valid, num, 0.0) / jnp.where(valid, den, 1.0)
+        t = jnp.where(valid & (t > 0.0), t, _INF)
+
+        cols = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+        t_min = jnp.min(t, axis=1, keepdims=True)          # (TR, 1)
+        col_min = jnp.min(jnp.where(t == t_min, cols, spad), axis=1,
+                          keepdims=True)
+        orig_b = jnp.broadcast_to(orig[None, :], t.shape)
+        idx_min = jnp.min(jnp.where(cols == col_min, orig_b, 2**30),
+                          axis=1, keepdims=True)
+
+        tm = t_min.reshape(r8, 128)
+        im = idx_min.reshape(r8, 128)
+        clip = jnp.minimum(t_ref[:], clip0)
+        improved = (done_ref[:] == 0) & (tm < clip)
+        t_ref[:] = jnp.where(improved, tm, t_ref[:])
+        prim_ref[:] = jnp.where(improved, im, prim_ref[:])
+        found_ref[:] = found_ref[:] | improved.astype(jnp.int32)
+        if any_hit:
+            done_ref[:] = done_ref[:] | improved.astype(jnp.int32)
+
+    def block_wanted(blk):
+        """Pre-DMA prune: does any live ray's [0+, clip] segment touch the
+        block's vertex AABB?  NaN-conservative (NaN -> wanted)."""
+        t0x = (aabb_s[0, blk] - ox) * ivx
+        t1x = (aabb_s[3, blk] - ox) * ivx
+        t0y = (aabb_s[1, blk] - oy) * ivy
+        t1y = (aabb_s[4, blk] - oy) * ivy
+        t0z = (aabb_s[2, blk] - oz) * ivz
+        t1z = (aabb_s[5, blk] - oz) * ivz
+        tlo = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                      jnp.minimum(t0y, t1y)),
+                          jnp.minimum(t0z, t1z))
+        thi = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                      jnp.maximum(t0y, t1y)),
+                          jnp.maximum(t0z, t1z))
+        clip = jnp.minimum(t_ref[:], clip0)
+        # reject only on definite misses (NaN compares false -> kept)
+        rejected = (tlo > thi) | (thi <= 0.0) | (tlo >= clip)
+        return jnp.any((done_ref[:] == 0) & ~rejected)
+
+    def leaf_fn(node, pend, pslot):
+        """Queue this leaf's surviving blocks through the pending pipeline:
+        start each block's DMA, then process the PREVIOUS block while the
+        new transfer flies."""
         blk0 = blk0_s[node]
         nb = nblk_s[node]
 
-        def blk_cond(carry):
-            i, cont = carry
-            return (i < nb) & cont
+        def blk_cond(c):
+            i, _, _, live = c
+            return (i < nb) & (live != 0)
 
-        def blk_body(carry):
-            i, _ = carry
+        def blk_body(c):
+            i, pend, pslot, _ = c
             blk = blk0 + i
-            cp_g = pltpu.make_async_copy(g_hbm.at[blk], g_vmem, sem_g)
-            cp_o = pltpu.make_async_copy(orig_hbm.at[blk], orig_vmem, sem_o)
-            cp_g.start()
-            cp_o.start()
-            cp_g.wait()
-            cp_o.wait()
 
-            # (TR, 5*Spad) — HIGHEST: one-pass bf16 would round geometry
-            out = jnp.dot(r16, g_vmem[:], preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
-            s0 = out[:, 0 * spad:1 * spad]
-            s1 = out[:, 1 * spad:2 * spad]
-            s2 = out[:, 2 * spad:3 * spad]
-            den = out[:, 3 * spad:4 * spad]
-            num = out[:, 4 * spad:5 * spad]
+            def enqueue(args):
+                pend, pslot = args
+                slot = 1 - pslot
+                cg, co = dma_pair(blk, slot)
+                cg.start()
+                co.start()
 
-            orig = orig_vmem[0]         # (Spad,) i32
-            pos = (s0 > 0.0) & (s1 > 0.0) & (s2 > 0.0)
-            neg = (s0 < 0.0) & (s1 < 0.0) & (s2 < 0.0)
-            valid = (pos | neg) & (den != 0.0) & (orig >= 0)[None, :]
-            t = jnp.where(valid, num, 0.0) / jnp.where(valid, den, 1.0)
-            t = jnp.where(valid & (t > 0.0), t, _INF)
+                @pl.when(pend >= 0)
+                def _():
+                    process(pend, pslot)
 
-            cols = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-            t_min = jnp.min(t, axis=1, keepdims=True)          # (TR, 1)
-            col_min = jnp.min(jnp.where(t == t_min, cols, spad), axis=1,
-                              keepdims=True)
-            orig_b = jnp.broadcast_to(orig[None, :], t.shape)
-            idx_min = jnp.min(jnp.where(cols == col_min, orig_b, 2**30),
-                              axis=1, keepdims=True)
+                return blk, slot
 
-            tm = t_min.reshape(r8, 128)
-            im = idx_min.reshape(r8, 128)
-            clip = jnp.minimum(t_ref[:], clip0)
-            improved = (done_ref[:] == 0) & (tm < clip)
-            t_ref[:] = jnp.where(improved, tm, t_ref[:])
-            prim_ref[:] = jnp.where(improved, im, prim_ref[:])
-            found_ref[:] = found_ref[:] | improved.astype(jnp.int32)
-            if any_hit:
-                done_ref[:] = done_ref[:] | improved.astype(jnp.int32)
-                return i + 1, jnp.any(done_ref[:] == 0)
-            return i + 1, True
+            pend, pslot = jax.lax.cond(
+                block_wanted(blk), enqueue, lambda a: a, (pend, pslot))
+            live = (jnp.any(done_ref[:] == 0).astype(jnp.int32)
+                    if any_hit else jnp.int32(1))
+            return i + 1, pend, pslot, live
 
-        jax.lax.while_loop(blk_cond, blk_body, (jnp.int32(0), True))
-        # cell consumed: empty the interval; next iteration pops
+        _, pend, pslot, _ = jax.lax.while_loop(
+            blk_cond, blk_body, (jnp.int32(0), pend, pslot, jnp.int32(1)))
+        # cell consumed: empty the interval; the pop-collapse advances us
         tn_ref[:] = jnp.full((r8, 128), _INF, jnp.float32)
         tx_ref[:] = jnp.full((r8, 128), -_INF, jnp.float32)
-        return node
+        return pend, pslot
 
     # ---------------- interior: one shared descend step ----------------
     def interior_fn(node, sp, alive):
@@ -164,22 +217,22 @@ def _kernel(flag_s, split_s, right_s, blk0_s, nblk_s,
         # per-ray far/near skip rules (kdtree.cpp:312-319)
         skip_far = (t_plane > tx) | (t_plane <= 0.0)
         push = ~skip_far & ~(t_plane < tn)
-        vis_near = skip_far | push          # == ~skip_near when not skip_far
+        vis_near = skip_far | push
         vis_far = ~skip_far
         tn_near = tn
         tx_near = jnp.where(push, t_plane, tx)
         tn_far = jnp.where(push, t_plane, tn)
         tx_far = tx
 
-        def child_iv(is_this_near, vis_n, vis_f):
-            sel_n = is_this_near & vis_n & alive
-            sel_f = ~is_this_near & vis_f & alive
+        def child_iv(is_this_near):
+            sel_n = is_this_near & vis_near & alive
+            sel_f = ~is_this_near & vis_far & alive
             tni = jnp.where(sel_n, tn_near, jnp.where(sel_f, tn_far, _INF))
             txi = jnp.where(sel_n, tx_near, jnp.where(sel_f, tx_far, -_INF))
             return tni, txi
 
-        tnL, txL = child_iv(near_is_left, vis_near, vis_far)
-        tnR, txR = child_iv(~near_is_left, vis_near, vis_far)
+        tnL, txL = child_iv(near_is_left)
+        tnR, txR = child_iv(~near_is_left)
 
         clip = jnp.minimum(t_ref[:], clip0)
         live = done_ref[:] == 0
@@ -194,23 +247,20 @@ def _kernel(flag_s, split_s, right_s, blk0_s, nblk_s,
         left_first = 2 * n_near_left >= jnp.sum(either.astype(jnp.int32))
 
         def both(_):
-            def lf(_):
+            def push_second(second, tns, txs, first, tnf, txf):
                 sp_c = jnp.minimum(sp, stack_depth - 1)
-                nstack_s[sp_c] = right
-                tn_stk[sp_c] = tnR
-                tx_stk[sp_c] = txR
-                tn_ref[:] = tnL
-                tx_ref[:] = txL
-                return left, sp + 1
+                nstack_s[sp_c] = second
+                tn_stk[sp_c] = tns
+                tx_stk[sp_c] = txs
+                tn_ref[:] = tnf
+                tx_ref[:] = txf
+                return first, sp + 1
+
+            def lf(_):
+                return push_second(right, tnR, txR, left, tnL, txL)
 
             def rf(_):
-                sp_c = jnp.minimum(sp, stack_depth - 1)
-                nstack_s[sp_c] = left
-                tn_stk[sp_c] = tnL
-                tx_stk[sp_c] = txL
-                tn_ref[:] = tnR
-                tx_ref[:] = txR
-                return right, sp + 1
+                return push_second(left, tnL, txL, right, tnR, txR)
 
             return jax.lax.cond(left_first, lf, rf, 0)
 
@@ -235,49 +285,63 @@ def _kernel(flag_s, split_s, right_s, blk0_s, nblk_s,
 
     # ---------------- outer walk ----------------
     def cond(carry):
-        node, sp, run = carry
-        return run != 0
+        return carry[2] != 0
 
     def body(carry):
-        node, sp, _ = carry
-        alive = alive_mask(tn_ref[:], tx_ref[:])
-        any_alive = jnp.any(alive)
+        node, sp, _, pend, pslot = carry
+
+        # pop-collapse: drain dead stack entries in one outer iteration.
+        # The loop cond must be pure on the carry (a cond that read the
+        # refs would see pre-loop state under discharge), so the
+        # keep-popping flag is computed INSIDE the body after the writes.
+        def pcond(c):
+            return c[2] != 0
+
+        def pbody(c):
+            _, sp2, _ = c
+            sp2 = sp2 - 1
+            tn_ref[:] = tn_stk[sp2]
+            tx_ref[:] = tx_stk[sp2]
+            more = (sp2 > 0) & ~jnp.any(alive_mask())
+            return nstack_s[sp2], sp2, more.astype(jnp.int32)
+
+        more0 = (sp > 0) & ~jnp.any(alive_mask())
+        node, sp, _ = jax.lax.while_loop(
+            pcond, pbody, (node, sp, more0.astype(jnp.int32)))
+        any_alive = jnp.any(alive_mask())
 
         def visit(_):
             is_leaf = flag_s[node] >= 3
 
             def at_leaf(_):
-                leaf_fn(node)
-                return node, sp, jnp.int32(1)
+                pend2, pslot2 = leaf_fn(node, pend, pslot)
+                return node, sp, jnp.int32(1), pend2, pslot2
 
             def at_interior(_):
-                node2, sp2 = interior_fn(node, sp, alive)
-                return node2, sp2, jnp.int32(1)
+                node2, sp2 = interior_fn(node, sp, alive_mask())
+                return node2, sp2, jnp.int32(1), pend, pslot
 
             return jax.lax.cond(is_leaf, at_leaf, at_interior, 0)
 
-        def pop_or_finish(_):
-            def do_pop(_):
-                sp2 = sp - 1
-                node2 = nstack_s[sp2]
-                tn_ref[:] = tn_stk[sp2]
-                tx_ref[:] = tx_stk[sp2]
-                return node2, sp2, jnp.int32(1)
+        def finish(_):
+            return node, sp, jnp.int32(0), pend, pslot
 
-            def finish(_):
-                return node, sp, jnp.int32(0)
-
-            return jax.lax.cond(sp > 0, do_pop, finish, 0)
-
-        return jax.lax.cond(any_alive, visit, pop_or_finish, 0)
+        return jax.lax.cond(any_alive, visit, finish, 0)
 
     run0 = jnp.any(act0 & ~(tx_ref[:] < tn_ref[:])).astype(jnp.int32)
-    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0), run0))
+    _, _, _, pend, pslot = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(0), run0,
+                     jnp.int32(-1), jnp.int32(0)))
+
+    # drain the pipeline: one block may still be in flight
+    @pl.when(pend >= 0)
+    def _():
+        process(pend, pslot)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "stack_depth", "any_hit", "interpret", "tile"))
-def packet_traverse(flag, split, right, blk0, nblk,
+def packet_traverse(flag, split, right, blk0, nblk, aabb,
                     o3, d3, invd3, tmin, tmax, clip, act, rays,
                     block_g, block_orig_p,
                     stack_depth: int, any_hit: bool = False,
@@ -287,6 +351,7 @@ def packet_traverse(flag, split, right, blk0, nblk,
     Args:
       flag/split/right/blk0/nblk: (M,) node fields (i32/f32/i32/i32/i32);
         blk0 = leaf_start // block_lanes, nblk = ceil(leaf_lanes / block_lanes).
+      aabb: (6, B) per-block vertex AABB [minx,miny,minz,maxx,maxy,maxz].
       o3/d3/invd3: (3, N//128, 128) ray origin/dir/inv-dir, lane-major.
       tmin/tmax/clip: (N//128, 128) root-slab entry/exit t and per-ray t_max.
       act: (N//128, 128) i32 root-hit mask.
@@ -312,7 +377,7 @@ def packet_traverse(flag, split, right, blk0, nblk,
                           any_hit=any_hit, r8=r8),
         grid=grid,
         in_specs=[
-            smem(), smem(), smem(), smem(), smem(),
+            smem(), smem(), smem(), smem(), smem(), smem(),
             pl.BlockSpec((3, r8, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, r8, 128), lambda i: (0, i, 0),
@@ -338,11 +403,11 @@ def packet_traverse(flag, split, right, blk0, nblk,
             pltpu.SMEM((max(stack_depth, 2),), jnp.int32),
             pltpu.VMEM((max(stack_depth, 2), r8, 128), jnp.float32),
             pltpu.VMEM((max(stack_depth, 2), r8, 128), jnp.float32),
-            pltpu.VMEM((16, SP5), jnp.float32),
-            pltpu.VMEM((1, spad), jnp.int32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, 16, SP5), jnp.float32),    # double-buffered blocks
+            pltpu.VMEM((2, 1, spad), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(flag, split, right, blk0, nblk, o3, d3, invd3, tmin, tmax, clip, act,
-      rays, block_g, block_orig_p)
+    )(flag, split, right, blk0, nblk, aabb, o3, d3, invd3, tmin, tmax, clip,
+      act, rays, block_g, block_orig_p)

@@ -430,7 +430,7 @@ def _traverse_packet(kd, o, d, t_max, cfg, any_hit: bool):
         orig = jnp.pad(orig, ((0, 0), (0, spad - orig.shape[1])), constant_values=-1)
 
     t_best, prim, found = packet_traverse(
-        kd.node_flag, kd.node_split, kd.node_right, blk0, nblk,
+        kd.node_flag, kd.node_split, kd.node_right, blk0, nblk, kd.block_aabb,
         vec3(o), vec3(d), vec3(inv_d), lanes(tmin0), lanes(tmax0),
         lanes(t_max.astype(jnp.float32)), lanes(active0.astype(jnp.int32)),
         rays, kd.block_g, orig[:, None, :],
@@ -491,7 +491,7 @@ def _backend(kd, cfg):
         from .pallas.mt_kernel import on_tpu
 
         be = "packet" if on_tpu() else "xla"
-    if be == "packet" and kd.block_g is None:
+    if be == "packet" and (kd.block_g is None or kd.block_aabb is None):
         return "xla"
     if be in ("mega", "forest"):
         from .pallas.traverse_kernel import MAX_NODES

@@ -106,6 +106,10 @@ class KDArrays:
     block_tris: Optional[jnp.ndarray] = None  # (B, block_lanes*lane, 9) f32
     # per-block Plücker matrices for the block-loop Pallas leaf kernel
     block_g: Optional[jnp.ndarray] = None  # (B, 16, 5*Spad) f32
+    # per-block vertex AABB [minx,miny,minz,maxx,maxy,maxz] — tighter than
+    # the kd cell; lets the packet kernel skip blocks no ray's segment can
+    # touch before paying the DMA + matmul (packet_kernel.py)
+    block_aabb: Optional[jnp.ndarray] = None  # (6, B) f32
     # treelet forest (trees too big for one VMEM-resident table): preorder
     # subtree cuts of <= MAX_NODES nodes with treelet-local child links,
     # plus the compact top tree whose super-leaves index the treelets

@@ -170,6 +170,51 @@ def section_sweep():
                   f"{type(e).__name__}: {e}", flush=True)
 
 
+def section_prod():
+    """Production shapes: 262144-ray tiles (the flagship ray_tile), packet
+    vs binned, closest / batched-shadow / 1-bounce / 10-bounce.  The 16k
+    probes understate the packet advantage: the binned XLA descend is
+    lockstep (per-iteration cost scales with the whole wavefront x max
+    visit count), the packet kernel is work-proportional per 1024-ray
+    packet."""
+    from dod_raytracer_tpu.intersect import closest_hit
+    from dod_raytracer_tpu.render import render_rays
+    from dod_raytracer_tpu.shading import lighting_factor
+
+    for be, mp in (("packet", 32), ("packet", 128), ("binned", 32)):
+        try:
+            scene, fz = flagship_scene(
+                traversal_backend=be, ray_tile=262144,
+                MaxPrims=mp, leaf_chunk_lanes=mp)
+            tiles, tile = center_tiles(fz, k=2)
+            inf = jnp.full((tile,), jnp.inf)
+
+            @jax.jit
+            def ch(scene, o, d):
+                return closest_hit(scene, o, d, fz, t_max=inf).t
+
+            @jax.jit
+            def bounce(scene, o, d, d_raw):
+                hit = closest_hit(scene, o, d, fz, t_max=inf)
+                return lighting_factor(scene, hit.point, hit.normal, d_raw,
+                                       fz, hit.mask)
+
+            @jax.jit
+            def full(scene, o, d, d_raw):
+                return render_rays(scene, o, d, d_raw, fz)
+
+            tag = f"[{be} mp={mp}] 262k"
+            truth_time(ch, [(scene, o, d) for (o, d, _) in tiles],
+                       f"dragon ch        {tag}", k=2)
+            truth_time(bounce, [(scene, o, d, r) for (o, d, r) in tiles],
+                       f"dragon bounce    {tag}", k=2)
+            truth_time(full, [(scene, o, d, r) for (o, d, r) in tiles],
+                       f"dragon 10-bounce {tag}", k=1)
+        except Exception as e:
+            print(f"prod [{be} mp={mp}]: FAILED {type(e).__name__}: {e}",
+                  flush=True)
+
+
 def section_teapot():
     from dod_raytracer_tpu.intersect import closest_hit
 
