@@ -52,6 +52,10 @@ class Config:
     # frame rays in 8x128 screen-block order (compact per-packet frustums
     # for the packet traversal); auto-disabled when W/H don't divide
     block_ray_order: bool = True
+    # re-sort the wavefront every bounce by morton(origin)|octant(dir):
+    # restores packet coherence after reflections scatter the rays (the
+    # result is an exact permutation — bit-identical output)
+    sort_bounces: bool = False
     # rematerialize each bounce in the backward pass (jax.checkpoint):
     # trades a second forward sweep for not storing per-bounce residuals
     remat_bounces: bool = False

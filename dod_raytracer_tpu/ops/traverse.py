@@ -405,7 +405,10 @@ def _traverse_packet(kd, o, d, t_max, cfg, any_hit: bool):
     from .pallas.packet_kernel import TILE, packet_traverse
     from .pallas.plucker_kernel import swizzle_rays_plucker
 
+    # Mosaic block shapes need the sublane dim divisible by 8, so the
+    # packet tile must be a multiple of 8*128 = 1024 rays
     tile = int(getattr(cfg, "packet_tile", 0)) or TILE
+    tile = max(1024, -(-tile // 1024) * 1024)
     n0 = o.shape[0]
     pad = (-n0) % tile
     if pad:

@@ -33,12 +33,58 @@ from .shading import lighting_factor
 from .utils.math import reflect
 
 
+def _part1by2(v):
+    """Spread 10 bits of v to every 3rd bit (Morton interleave helper)."""
+    v = (v | (v << 16)) & 0x030000FF
+    v = (v | (v << 8)) & 0x0300F00F
+    v = (v | (v << 4)) & 0x030C30C3
+    v = (v | (v << 2)) & 0x09249249
+    return v
+
+
+def _sort_keys(scene, o, d):
+    """Spatial+direction sort key per ray: morton21(origin) | octant(dir).
+
+    Bounce wavefronts scatter after a reflection; re-grouping rays by
+    quantized origin cell (and direction octant within a cell) restores
+    the spatial coherence the packet traversal's shared descend relies on
+    — the wavefront analogue of CPU packet reordering."""
+    kd = scene.kd
+    if kd is not None:
+        bmin, bmax = kd.bounds_min, kd.bounds_max
+    else:
+        bmin = jnp.full((3,), -6.0)
+        bmax = jnp.full((3,), 6.0)
+    q = jnp.clip((o - bmin[None, :]) / jnp.maximum(bmax - bmin, 1e-6)[None, :],
+                 0.0, 1.0)
+    cell = (q * 127.0).astype(jnp.int32)  # 7 bits/axis -> 21-bit morton
+    morton = (_part1by2(cell[:, 0]) | (_part1by2(cell[:, 1]) << 1)
+              | (_part1by2(cell[:, 2]) << 2))
+    octant = ((d[:, 0] > 0).astype(jnp.int32) * 4
+              + (d[:, 1] > 0).astype(jnp.int32) * 2
+              + (d[:, 2] > 0).astype(jnp.int32))
+    return morton * 8 + octant
+
+
 def render_rays(scene, o, d, pixel_dirs, cfg: Config) -> jnp.ndarray:
     """Trace a wavefront of rays to final linear RGB colors (N, 3)."""
     n = o.shape[0]
+    sort_bounces = getattr(cfg, "sort_bounces", False)
+    pdirs0 = pixel_dirs
 
     def live_bounce(carry, k):
-        o, d, final, active = carry
+        if sort_bounces:
+            o, d, pixel_dirs, final, active, slot_pix = carry
+            # re-group the scattered wavefront (exact permutation: every
+            # per-ray quantity rides along, slot_pix tracks the inverse)
+            _, perm = jax.lax.sort_key_val(
+                _sort_keys(scene, o, d),
+                jax.lax.broadcasted_iota(jnp.int32, (o.shape[0],), 0))
+            o, d, pixel_dirs = o[perm], d[perm], pixel_dirs[perm]
+            final, active, slot_pix = final[perm], active[perm], slot_pix[perm]
+        else:
+            o, d, final, active = carry
+            pixel_dirs = pdirs0
         # dead rays get t_max=-1: the root slab test rejects them instantly,
         # so the lockstep traversal loops run only as long as live rays need
         t_max = jnp.where(active, jnp.inf, -1.0)
@@ -53,6 +99,8 @@ def render_rays(scene, o, d, pixel_dirs, cfg: Config) -> jnp.ndarray:
         o_new = hit.point + d_new * cfg.Epsilon  # main.cpp:333
         o = jnp.where(active[:, None], o_new, o)
         d = jnp.where(active[:, None], d_new, d)
+        if sort_bounces:
+            return (o, d, pixel_dirs, final, active, slot_pix)
         return (o, d, final, active)
 
     body = live_bounce
@@ -81,10 +129,12 @@ def render_rays(scene, o, d, pixel_dirs, cfg: Config) -> jnp.ndarray:
         # rounds), and the per-bounce cond noticeably slows XLA:TPU
         # compilation of the 10-round scan.
         inner = body
+        act_ix = 4 if sort_bounces else 3
 
         def bounce(carry, k):
             return jax.lax.cond(
-                jnp.any(carry[3]), lambda c: inner(c, k), lambda c: c, carry
+                jnp.any(carry[act_ix]), lambda c: inner(c, k), lambda c: c,
+                carry
             ), None
     else:
         def bounce(carry, k):
@@ -92,8 +142,20 @@ def render_rays(scene, o, d, pixel_dirs, cfg: Config) -> jnp.ndarray:
 
     # derive carry init from the (possibly shard_map-varying) ray arrays so
     # the scan carry has consistent varying-manual-axes under shard_map
+    ks = jnp.arange(cfg.recursion_depth)
+    if sort_bounces:
+        slot_pix0 = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+        init = (o, d, pdirs0, jnp.zeros_like(o),
+                jnp.ones_like(o[:, 0], dtype=bool), slot_pix0)
+        (_, _, _, final, _, slot_pix), _ = jax.lax.scan(bounce, init, ks)
+        # undo the accumulated bounce permutations: slot i holds pixel
+        # slot_pix[i]'s color — sort rows back into pixel order
+        _, r = jax.lax.sort_key_val(slot_pix, final[:, 0])
+        _, g = jax.lax.sort_key_val(slot_pix, final[:, 1])
+        _, b = jax.lax.sort_key_val(slot_pix, final[:, 2])
+        return jnp.stack([r, g, b], axis=1)
     init = (o, d, jnp.zeros_like(o), jnp.ones_like(o[:, 0], dtype=bool))
-    (_, _, final, _), _ = jax.lax.scan(bounce, init, jnp.arange(cfg.recursion_depth))
+    (_, _, final, _), _ = jax.lax.scan(bounce, init, ks)
     return final
 
 

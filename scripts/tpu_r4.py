@@ -112,7 +112,8 @@ def section_packet():
     from dod_raytracer_tpu.render import render_rays
     from dod_raytracer_tpu.shading import lighting_factor
 
-    for be, over in (("packet", {"traversal_backend": "packet"}),
+    for be, over in (("packet", {"traversal_backend": "packet",
+                                 "MaxPrims": 64, "leaf_chunk_lanes": 64}),
                      ("binned", {"traversal_backend": "binned"})):
         scene, fz = flagship_scene(**over)
         tiles, tile = center_tiles(fz)
@@ -181,7 +182,7 @@ def section_prod():
     from dod_raytracer_tpu.render import render_rays
     from dod_raytracer_tpu.shading import lighting_factor
 
-    for be, mp in (("packet", 32), ("packet", 128), ("binned", 32)):
+    for be, mp in (("packet", 64), ("binned", 64), ("binned", 32)):
         try:
             scene, fz = flagship_scene(
                 traversal_backend=be, ray_tile=262144,
@@ -215,6 +216,47 @@ def section_prod():
                   flush=True)
 
 
+def section_sorted():
+    """sort_bounces on/off: 10-bounce tile cost, packet mp=64."""
+    from dod_raytracer_tpu.render import render_rays
+
+    for srt in (True, False):
+        scene, fz = flagship_scene(
+            traversal_backend="packet", MaxPrims=64, leaf_chunk_lanes=64,
+            sort_bounces=srt)
+        tiles, tile = center_tiles(fz, k=2)
+
+        @jax.jit
+        def full(scene, o, d, d_raw):
+            return render_rays(scene, o, d, d_raw, fz)
+
+        truth_time(full, [(scene, o, d, r) for (o, d, r) in tiles],
+                   f"dragon 10-bounce [packet64 sort={srt}] 16k", k=1)
+
+
+def section_tiles():
+    """Per-tile closest-hit cost around the frame center (packet mp=64):
+    which tiles are pathological and by how much."""
+    from dod_raytracer_tpu.intersect import closest_hit
+
+    scene, fz = flagship_scene(traversal_backend="packet",
+                               MaxPrims=64, leaf_chunk_lanes=64)
+    from dod_raytracer_tpu.render import _padded_frame_rays
+
+    o, d, d_raw, n, tile, num_tiles = _padded_frame_rays(fz)
+    inf = jnp.full((tile,), jnp.inf)
+
+    @jax.jit
+    def ch(scene, o, d):
+        return closest_hit(scene, o, d, fz, t_max=inf).t
+
+    mid = num_tiles // 2
+    for i in range(mid - 4, mid + 4):
+        sl = slice(i * tile, (i + 1) * tile)
+        args = [(scene, jnp.asarray(o[sl]), jnp.asarray(d[sl]))]
+        truth_time(ch, args, f"tile {i:3d} ch", k=2)
+
+
 def section_teapot():
     from dod_raytracer_tpu.intersect import closest_hit
 
@@ -236,7 +278,8 @@ def section_frame():
     from dod_raytracer_tpu.render import (_padded_frame_rays, _tile_starts,
                                           render_frame_tiles)
 
-    scene, fz = flagship_scene(traversal_backend="packet", ray_tile=262144)
+    scene, fz = flagship_scene(traversal_backend="packet", ray_tile=262144,
+                               MaxPrims=64, leaf_chunk_lanes=64)
     o, d, d_raw, n, rtile, num_tiles = _padded_frame_rays(fz)
     starts = _tile_starts(num_tiles, rtile)
 

@@ -176,3 +176,21 @@ def test_block_ray_order_identical():
         scene = default_scene(seed=5, cfg=cfg, mesh=None).build(cfg)
         imgs.append(np.asarray(render_image(scene, cfg)))
     np.testing.assert_array_equal(imgs[0], imgs[1])
+
+
+def test_sort_bounces_identical():
+    """Per-bounce ray sorting is an exact permutation (every per-ray
+    quantity rides along; inverse applied at the end): output must be
+    bit-identical to the unsorted integrator."""
+    import numpy as np
+
+    from dod_raytracer_tpu import Config, render_image
+    from dod_raytracer_tpu.scene import default_scene
+
+    imgs = []
+    for srt in (False, True):
+        cfg = Config(Width=48, Height=24, use_kdtree=True, ray_tile=512,
+                     sort_bounces=srt)
+        scene = default_scene(seed=6, cfg=cfg, mesh="teapot").build(cfg)
+        imgs.append(np.asarray(render_image(scene, cfg)))
+    np.testing.assert_array_equal(imgs[0], imgs[1])
