@@ -54,8 +54,10 @@ class Config:
     block_ray_order: bool = True
     # re-sort the wavefront every bounce by morton(origin)|octant(dir):
     # restores packet coherence after reflections scatter the rays (the
-    # result is an exact permutation — bit-identical output)
-    sort_bounces: bool = False
+    # result is an exact permutation — bit-identical output).  None =
+    # auto: ON on TPU (the packet descend depends on coherence), OFF on
+    # CPU/GPU hosts (nothing there amortizes over packets).
+    sort_bounces: Optional[bool] = None
     # rematerialize each bounce in the backward pass (jax.checkpoint):
     # trades a second forward sweep for not storing per-bounce residuals
     remat_bounces: bool = False

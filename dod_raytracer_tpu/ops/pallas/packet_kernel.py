@@ -114,10 +114,15 @@ def _kernel(flag_s, split_s, right_s, blk0_s, nblk_s, aabb_s,
         num = out[:, 4 * spad:5 * spad]
 
         orig = orig_vmem[slot, 0]       # (Spad,) i32
-        pos = (s0 > 0.0) & (s1 > 0.0) & (s2 > 0.0)
-        neg = (s0 < 0.0) & (s1 < 0.0) & (s2 < 0.0)
-        valid = (pos | neg) & (den != 0.0) & (orig >= 0)[None, :]
-        t = jnp.where(valid, num, 0.0) / jnp.where(valid, den, 1.0)
+        # same-strict-sign test via min/max: lo>0 <=> all sides >0,
+        # hi<0 <=> all <0 — exactly (pos|neg) of the reference ladder.
+        # No den!=0 / orig-mask passes needed: empty lanes have all-zero
+        # Plücker columns (lo=hi=0 -> invalid), and den==0 yields
+        # t = +-inf/NaN which the strict (t>0, t<clip) folds reject.
+        lo = jnp.minimum(jnp.minimum(s0, s1), s2)
+        hi = jnp.maximum(jnp.maximum(s0, s1), s2)
+        valid = (lo > 0.0) | (hi < 0.0)
+        t = num / den
         t = jnp.where(valid & (t > 0.0), t, _INF)
 
         cols = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)

@@ -69,7 +69,11 @@ def _sort_keys(scene, o, d):
 def render_rays(scene, o, d, pixel_dirs, cfg: Config) -> jnp.ndarray:
     """Trace a wavefront of rays to final linear RGB colors (N, 3)."""
     n = o.shape[0]
-    sort_bounces = getattr(cfg, "sort_bounces", False)
+    sort_bounces = getattr(cfg, "sort_bounces", None)
+    if sort_bounces is None:
+        from .ops.pallas.mt_kernel import on_tpu
+
+        sort_bounces = on_tpu()
     pdirs0 = pixel_dirs
 
     def live_bounce(carry, k):
