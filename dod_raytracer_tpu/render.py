@@ -43,12 +43,16 @@ def _part1by2(v):
 
 
 def _sort_keys(scene, o, d):
-    """Spatial+direction sort key per ray: morton21(origin) | octant(dir).
+    """Direction-major sort key: finely binned direction, then origin
+    morton — groups near-parallel rays from nearby origins into tight
+    BEAMS (a packet of one spatial cluster pointing everywhere still
+    sweeps the whole tree; a beam sweeps one corridor).  The wavefront
+    analogue of CPU packet reordering, tuned for the packet traversal's
+    shared descend.
 
-    Bounce wavefronts scatter after a reflection; re-grouping rays by
-    quantized origin cell (and direction octant within a cell) restores
-    the spatial coherence the packet traversal's shared descend relies on
-    — the wavefront analogue of CPU packet reordering."""
+    dir bin (9 bits): dominant face (6) x 3+3-bit in-face (u, v);
+    origin (21 bits): 7-bit/axis morton of the position inside the kd
+    world bounds."""
     kd = scene.kd
     if kd is not None:
         bmin, bmax = kd.bounds_min, kd.bounds_max
@@ -60,10 +64,21 @@ def _sort_keys(scene, o, d):
     cell = (q * 127.0).astype(jnp.int32)  # 7 bits/axis -> 21-bit morton
     morton = (_part1by2(cell[:, 0]) | (_part1by2(cell[:, 1]) << 1)
               | (_part1by2(cell[:, 2]) << 2))
-    octant = ((d[:, 0] > 0).astype(jnp.int32) * 4
-              + (d[:, 1] > 0).astype(jnp.int32) * 2
-              + (d[:, 2] > 0).astype(jnp.int32))
-    return morton * 8 + octant
+
+    ad = jnp.abs(d)
+    axis = jnp.argmax(ad, axis=1)  # dominant axis
+    mx = jnp.maximum(jnp.max(ad, axis=1), 1e-30)
+    d_ax = jnp.take_along_axis(d, axis[:, None], axis=1)[:, 0]
+    face = axis * 2 + (d_ax < 0)  # 6 faces
+    # the two minor components, in dominant-axis order
+    others = jnp.stack([d[:, 1], d[:, 2], d[:, 0]], axis=1)
+    others2 = jnp.stack([d[:, 2], d[:, 0], d[:, 1]], axis=1)
+    u = jnp.take_along_axis(others, axis[:, None], axis=1)[:, 0] / mx
+    v = jnp.take_along_axis(others2, axis[:, None], axis=1)[:, 0] / mx
+    qu = jnp.clip(((u + 1.0) * 3.5).astype(jnp.int32), 0, 7)  # 3 bits
+    qv = jnp.clip(((v + 1.0) * 3.5).astype(jnp.int32), 0, 7)
+    dirbin = (face * 64 + qu * 8 + qv).astype(jnp.int32)  # 9 bits
+    return dirbin * (1 << 21) + morton
 
 
 def render_rays(scene, o, d, pixel_dirs, cfg: Config) -> jnp.ndarray:

@@ -234,6 +234,26 @@ def section_sorted():
                    f"dragon 10-bounce [packet64 sort={srt}] 16k", k=1)
 
 
+def section_depths():
+    """Marginal per-bounce cost: sorted packet, depth 1/2/3/5/10 — where
+    do the late (incoherent) bounces actually spend."""
+    from dod_raytracer_tpu.render import render_rays
+
+    for depth in (1, 2, 3, 5, 10):
+        scene, fz = flagship_scene(
+            traversal_backend="packet", MaxPrims=64, leaf_chunk_lanes=64,
+            sort_bounces=True, recursion_depth=depth)
+        tiles, tile = center_tiles(fz, k=2)
+
+        @jax.jit
+        def full(scene, o, d, d_raw):
+            return render_rays(scene, o, d, d_raw, fz)
+
+        truth_time(full, [(scene, o, d, r) for (o, d, r) in tiles],
+                   f"dragon bounce-depth={depth:2d} [packet64 sorted] 16k",
+                   k=2 if depth < 5 else 1)
+
+
 def section_tiles():
     """Per-tile closest-hit cost around the frame center (packet mp=64):
     which tiles are pathological and by how much."""
