@@ -70,6 +70,9 @@ class Config:
     # per-iteration fixed overhead, BASELINE.md r3), OFF on CPU hosts
     # (bytes dominate; the L*N working set measured ~4x slower).
     shadow_batch_lights: Optional[bool] = None
+    # sort the batched shadow wavefront per light by hit-point morton so
+    # each light's rays form packet-friendly beams (exact permutation)
+    sort_shadow: bool = True
     # small-mesh crossover: meshes with <= this many triangles bypass the
     # kd walk for the batched brute-force intersector (0 = always use the
     # tree when built); threshold measured by scripts/tpu_sweep.py

@@ -80,8 +80,28 @@ def light_visibility(scene, points, cfg, active=None, relevant=None) -> jnp.ndar
         if relevant is not None:
             kill = kill | ~relevant.T
         dist = jnp.where(kill, -1.0, dist)
-        blocked = occluded(scene, o.reshape(L * n, 3), ldir.reshape(L * n, 3),
-                           dist.reshape(L * n), cfg).reshape(L, n)
+        o_f = o.reshape(L * n, 3)
+        d_f = ldir.reshape(L * n, 3)
+        t_f = dist.reshape(L * n)
+        if getattr(cfg, "sort_shadow", True):
+            # group each light's rays by hit-point locality: shadow rays
+            # from clustered origins to one point light form a tight beam
+            # (packet-traversal-friendly).  Exact permutation; killed
+            # pairs sort to the back of their light segment so live
+            # packets stay dense.
+            from .render import _sort_keys
+
+            key = _sort_keys(scene, o_f, d_f) & ((1 << 21) - 1)  # morton only
+            key = jnp.where(t_f < 0.0, 1 << 21, key)  # killed -> segment tail
+            light_ix = jax.lax.broadcasted_iota(jnp.int32, (L, n), 0)
+            key = key + light_ix.reshape(L * n) * (1 << 22)
+            _, perm = jax.lax.sort_key_val(
+                key, jax.lax.broadcasted_iota(jnp.int32, (L * n,), 0))
+            blk_s = occluded(scene, o_f[perm], d_f[perm], t_f[perm], cfg)
+            _, blocked = jax.lax.sort_key_val(perm, blk_s)
+            blocked = blocked.reshape(L, n)
+        else:
+            blocked = occluded(scene, o_f, d_f, t_f, cfg).reshape(L, n)
         return ~blocked.T
 
     def one_light(args):
