@@ -99,53 +99,12 @@ def _kernel(flag_s, split_s, right_s, blk0_s, nblk_s, aabb_s,
                 pltpu.make_async_copy(orig_hbm.at[blk], orig_vmem.at[slot],
                                       sem_o.at[slot]))
 
-    def process(blk, slot):
-        """Wait the slot's DMA, intersect the whole tile vs the block,
-        fold per-ray minima (strict improvement vs current clip)."""
-        cg, co = dma_pair(blk, slot)
-        cg.wait()
-        co.wait()
-        out = jnp.dot(r16, g_vmem[slot], preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)  # (TR, 5*Spad)
-        s0 = out[:, 0 * spad:1 * spad]
-        s1 = out[:, 1 * spad:2 * spad]
-        s2 = out[:, 2 * spad:3 * spad]
-        den = out[:, 3 * spad:4 * spad]
-        num = out[:, 4 * spad:5 * spad]
-
-        orig = orig_vmem[slot, 0]       # (Spad,) i32
-        # same-strict-sign test via min/max: lo>0 <=> all sides >0,
-        # hi<0 <=> all <0 — exactly (pos|neg) of the reference ladder.
-        # No den!=0 / orig-mask passes needed: empty lanes have all-zero
-        # Plücker columns (lo=hi=0 -> invalid), and den==0 yields
-        # t = +-inf/NaN which the strict (t>0, t<clip) folds reject.
-        lo = jnp.minimum(jnp.minimum(s0, s1), s2)
-        hi = jnp.maximum(jnp.maximum(s0, s1), s2)
-        valid = (lo > 0.0) | (hi < 0.0)
-        t = num / den
-        t = jnp.where(valid & (t > 0.0), t, _INF)
-
-        cols = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-        t_min = jnp.min(t, axis=1, keepdims=True)          # (TR, 1)
-        col_min = jnp.min(jnp.where(t == t_min, cols, spad), axis=1,
-                          keepdims=True)
-        orig_b = jnp.broadcast_to(orig[None, :], t.shape)
-        idx_min = jnp.min(jnp.where(cols == col_min, orig_b, 2**30),
-                          axis=1, keepdims=True)
-
-        tm = t_min.reshape(r8, 128)
-        im = idx_min.reshape(r8, 128)
-        clip = jnp.minimum(t_ref[:], clip0)
-        improved = (done_ref[:] == 0) & (tm < clip)
-        t_ref[:] = jnp.where(improved, tm, t_ref[:])
-        prim_ref[:] = jnp.where(improved, im, prim_ref[:])
-        found_ref[:] = found_ref[:] | improved.astype(jnp.int32)
-        if any_hit:
-            done_ref[:] = done_ref[:] | improved.astype(jnp.int32)
-
-    def block_wanted(blk):
-        """Pre-DMA prune: does any live ray's [0+, clip] segment touch the
-        block's vertex AABB?  NaN-conservative (NaN -> wanted)."""
+    def block_candidates(blk):
+        """(R8, 128) bool: rays whose [0+, clip] segment touches the
+        block's vertex AABB and are not done.  EXACT superset of rays
+        that could fold an improvement from this block: a real hit with
+        t < clip lies inside the AABB, so its segment intersects it.
+        NaN-conservative (NaN compares false -> kept)."""
         t0x = (aabb_s[0, blk] - ox) * ivx
         t1x = (aabb_s[3, blk] - ox) * ivx
         t0y = (aabb_s[1, blk] - oy) * ivy
@@ -159,9 +118,72 @@ def _kernel(flag_s, split_s, right_s, blk0_s, nblk_s, aabb_s,
                                       jnp.maximum(t0y, t1y)),
                           jnp.maximum(t0z, t1z))
         clip = jnp.minimum(t_ref[:], clip0)
-        # reject only on definite misses (NaN compares false -> kept)
         rejected = (tlo > thi) | (thi <= 0.0) | (tlo >= clip)
-        return jnp.any((done_ref[:] == 0) & ~rejected)
+        return (done_ref[:] == 0) & ~rejected
+
+    def process(blk, slot):
+        """Wait the slot's DMA, intersect CANDIDATE 128-ray chunks vs the
+        block, fold per-ray minima (strict improvement vs current clip).
+
+        The fold is chunked by sublane row: with the beam-sorted
+        wavefront, the rays needing a block sit consecutively, so
+        incoherent packets pay 1-2 of the R8 chunks instead of a
+        full-tile matmul+epilogue per visit.  Chunk skipping is exact
+        (block_candidates is a superset of foldable rays)."""
+        cand = block_candidates(blk)    # (R8, 128)
+        cg, co = dma_pair(blk, slot)
+        cg.wait()
+        co.wait()
+        orig = orig_vmem[slot, 0]       # (Spad,) i32
+
+        for c in range(r8):
+            @pl.when(jnp.any(cand[c:c + 1, :]))
+            def _(c=c):
+                out = jnp.dot(r16[c * 128:(c + 1) * 128, :], g_vmem[slot],
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
+                s0 = out[:, 0 * spad:1 * spad]
+                s1 = out[:, 1 * spad:2 * spad]
+                s2 = out[:, 2 * spad:3 * spad]
+                den = out[:, 3 * spad:4 * spad]
+                num = out[:, 4 * spad:5 * spad]
+                # same-strict-sign via min/max: lo>0 <=> all sides >0,
+                # hi<0 <=> all <0 — exactly (pos|neg) of the reference
+                # ladder.  No den!=0 / orig-mask passes needed: empty
+                # lanes have all-zero Plücker columns (lo=hi=0 ->
+                # invalid) and den==0 yields inf/NaN t which the strict
+                # (t>0, t<clip) folds reject.
+                lo = jnp.minimum(jnp.minimum(s0, s1), s2)
+                hi = jnp.maximum(jnp.maximum(s0, s1), s2)
+                valid = (lo > 0.0) | (hi < 0.0)
+                t = num / den
+                t = jnp.where(valid & (t > 0.0), t, _INF)
+
+                cols = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+                t_min = jnp.min(t, axis=1, keepdims=True)      # (128, 1)
+                col_min = jnp.min(jnp.where(t == t_min, cols, spad), axis=1,
+                                  keepdims=True)
+                orig_b = jnp.broadcast_to(orig[None, :], t.shape)
+                idx_min = jnp.min(jnp.where(cols == col_min, orig_b, 2**30),
+                                  axis=1, keepdims=True)
+
+                tm = t_min.reshape(1, 128)
+                im = idx_min.reshape(1, 128)
+                row = t_ref[c:c + 1, :]
+                clip = jnp.minimum(row, clip0[c:c + 1, :])
+                improved = (done_ref[c:c + 1, :] == 0) & (tm < clip)
+                t_ref[c:c + 1, :] = jnp.where(improved, tm, row)
+                prim_ref[c:c + 1, :] = jnp.where(improved, im,
+                                                 prim_ref[c:c + 1, :])
+                found_ref[c:c + 1, :] = (found_ref[c:c + 1, :]
+                                         | improved.astype(jnp.int32))
+                if any_hit:
+                    done_ref[c:c + 1, :] = (done_ref[c:c + 1, :]
+                                            | improved.astype(jnp.int32))
+
+    def block_wanted(blk):
+        """Pre-DMA prune: any candidate ray at all?"""
+        return jnp.any(block_candidates(blk))
 
     def leaf_fn(node, pend, pslot):
         """Queue this leaf's surviving blocks through the pending pipeline:
