@@ -59,20 +59,21 @@ def build_flagship(small: bool, grad: bool = False):
     from dod_raytracer_tpu.render import _FrozenConfig
     from dod_raytracer_tpu.scene import default_scene
 
-    # ray_tile=0 -> _auto_ray_tile (262144 on TPU, 32768 elsewhere): the
-    # bench exercises the production auto path so the tuned value cannot
-    # silently drift from what users get (ADVICE r3).  The grad pass
-    # doubles per-tile liveness (fwd residuals + bwd), so it pins 131072.
-    # MaxPrims/leaf_chunk_lanes: TPU-tuned fat-leaf tree shape; honest
-    # re-sweep in scripts/tpu_truth2.py section_sweep.
-    rt = 131072 if grad else 0
+    # ray_tile=0 -> _auto_ray_tile: the bench exercises the production
+    # auto path so the tuned value cannot silently drift from what users
+    # get (ADVICE r3).  The grad pass doubles per-tile liveness (fwd
+    # residuals + bwd), so it pins the smaller 16384.
+    # MaxPrims/leaf_chunk_lanes=64: packet-kernel-tuned tree shape —
+    # honest truth-protocol sweep scripts/tpu_r4.py section_sweep
+    # (mp=64 pt=1024: 3.4 ms/16k closest vs 4.8 @mp128, 35 ms binned).
+    rt = 16384 if grad else 0
     if small:
         cfg = Config(Width=512, Height=512, use_kdtree=True, ray_tile=rt,
-                     MaxPrims=32, leaf_chunk_lanes=32)
+                     MaxPrims=64, leaf_chunk_lanes=64)
         mesh = "teapot"
     else:
         cfg = Config(Width=1920, Height=1080, use_kdtree=True, ray_tile=rt,
-                     MaxPrims=32, leaf_chunk_lanes=32)
+                     MaxPrims=64, leaf_chunk_lanes=64)
         mesh = "dragon"
     frozen = _FrozenConfig.from_config(cfg)
     scene = default_scene(seed=0, cfg=cfg, mesh=mesh).build(cfg)

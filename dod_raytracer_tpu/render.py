@@ -207,19 +207,20 @@ _MAX_IN_FLIGHT = 8
 def _auto_ray_tile(n: int) -> int:
     """Backend-tuned tile size for ray_tile=0 (auto).
 
-    The lockstep traversal is per-iteration-overhead-bound at small
-    batches: on TPU v5e the 1080p dragon frame runs ~10x faster at
-    262144-ray tiles than at 16384 (scripts/tpu_r3.py tilesize sweep;
-    exactness across tile sizes checked by scripts/tpu_tilecheck.py and
-    tests/test_render_golden.py::test_tiling_invariance).  262144 keeps
-    the (tile, 256, 9) leaf-block gather ~2.4 GB — comfortable in 16 GB
-    HBM even with the fused grad tile.  On CPU/GPU hosts stay small so
-    tests and laptops bound their working set (the XLA path's leaf-block
-    gather is ~2.4 GB at 262144 rays — an OOM on consumer GPUs)."""
+    On TPU the packet kernel is work-proportional (per-1024-ray packets
+    inside one pallas grid), so the XLA-level tile only sets the
+    per-dispatch program size: 32768 keeps a worst-case 10-bounce tile
+    program well under the TPU runtime's execution watchdog (a 262144-ray
+    10-bounce program was observed to crash the worker — BASELINE.md
+    round 4) while per-dispatch overhead (~0.2 ms relay) stays <1% of a
+    tile.  (Retracted: the r3 "10x faster at 262144" tile sweep was
+    dispatch-rate fiction.)  On CPU/GPU hosts stay small so tests and
+    laptops bound their working set (the XLA path's leaf-block gather is
+    ~2.4 GB at 262144 rays — an OOM on consumer GPUs)."""
     from .ops.pallas.mt_kernel import on_tpu
 
     if on_tpu():
-        return min(262144, n)
+        return min(32768, n)
     return min(32768, n)
 
 

@@ -277,6 +277,28 @@ def section_tiles():
         truth_time(ch, args, f"tile {i:3d} ch", k=2)
 
 
+def section_grad16():
+    """Honest fwd+bwd (vertex grads) on a 16k dragon center tile."""
+    import functools
+
+    from dod_raytracer_tpu.render import render_rays
+
+    scene, fz = flagship_scene(traversal_backend="packet",
+                               MaxPrims=64, leaf_chunk_lanes=64)
+    tiles, tile = center_tiles(fz, k=2)
+
+    @jax.jit
+    def tile_grad(sc, o, d, d_raw):
+        def f(v):
+            s = sc.replace(triangles=sc.triangles.replace(verts=v))
+            return jnp.sum(render_rays(s, o, d, d_raw, fz) ** 2)
+
+        return jax.value_and_grad(f)(sc.triangles.verts)
+
+    truth_time(tile_grad, [(scene, o, d, r) for (o, d, r) in tiles],
+               "dragon fwd+bwd 10-bounce [packet64] 16k", k=1)
+
+
 def section_teapot():
     from dod_raytracer_tpu.intersect import closest_hit
 
@@ -298,7 +320,7 @@ def section_frame():
     from dod_raytracer_tpu.render import (_padded_frame_rays, _tile_starts,
                                           render_frame_tiles)
 
-    scene, fz = flagship_scene(traversal_backend="packet", ray_tile=262144,
+    scene, fz = flagship_scene(traversal_backend="packet", ray_tile=32768,
                                MaxPrims=64, leaf_chunk_lanes=64)
     o, d, d_raw, n, rtile, num_tiles = _padded_frame_rays(fz)
     starts = _tile_starts(num_tiles, rtile)
