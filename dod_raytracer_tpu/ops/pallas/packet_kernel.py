@@ -58,6 +58,7 @@ from jax.experimental.pallas import tpu as pltpu
 _INF = float("inf")
 
 TILE = 1024  # rays per packet: per-ray state is (TILE//128, 128) = full vregs
+_MBOX = 8  # recently-processed-block mailbox ring (straddler dedup)
 
 
 def _kernel(flag_s, split_s, right_s, blk0_s, nblk_s, aabb_s,
@@ -65,7 +66,7 @@ def _kernel(flag_s, split_s, right_s, blk0_s, nblk_s, aabb_s,
             rays_ref, g_hbm, orig_hbm,
             t_ref, prim_ref, found_ref,
             tn_ref, tx_ref, done_ref, nstack_s, tn_stk, tx_stk,
-            g_vmem, orig_vmem, sem_g, sem_o,
+            mbox_s, g_vmem, orig_vmem, sem_g, sem_o,
             *, spad: int, stack_depth: int, any_hit: bool, r8: int):
     r16 = rays_ref[:]                   # (TR, 16) Plücker rows
     clip0 = clip_ref[:]                 # per-ray t_max (R8, 128)
@@ -80,6 +81,9 @@ def _kernel(flag_s, split_s, right_s, blk0_s, nblk_s, aabb_s,
     done_ref[:] = (~act0).astype(jnp.int32)
     tn_ref[:] = tmin_ref[:]
     tx_ref[:] = tmax_ref[:]
+    for i in range(_MBOX):
+        mbox_s[i] = jnp.int32(-1)
+    mbox_s[_MBOX] = jnp.int32(0)  # ring insert cursor
 
     def alive_mask():
         """Rays whose current interval may still contain a closer hit.
@@ -182,8 +186,21 @@ def _kernel(flag_s, split_s, right_s, blk0_s, nblk_s, aabb_s,
                                             | improved.astype(jnp.int32))
 
     def block_wanted(blk):
-        """Pre-DMA prune: any candidate ray at all?"""
-        return jnp.any(block_candidates(blk))
+        """Pre-DMA prune: any candidate ray at all, and not in the
+        mailbox?  Duplicated straddler lanes put the same block in many
+        leaves (kdtree.cpp:229-244); a block tested once this walk cannot
+        fold anything new (same candidates, clip only tightens), so a
+        small ring of recently-processed block ids skips retests —
+        exact."""
+        seen = mbox_s[0] == blk
+        for i in range(1, _MBOX):
+            seen = seen | (mbox_s[i] == blk)
+        return ~seen & jnp.any(block_candidates(blk))
+
+    def mbox_insert(blk):
+        cur = mbox_s[_MBOX]
+        mbox_s[cur] = blk
+        mbox_s[_MBOX] = jax.lax.rem(cur + 1, _MBOX)
 
     def leaf_fn(node, pend, pslot):
         """Queue this leaf's surviving blocks through the pending pipeline:
@@ -206,6 +223,7 @@ def _kernel(flag_s, split_s, right_s, blk0_s, nblk_s, aabb_s,
                 cg, co = dma_pair(blk, slot)
                 cg.start()
                 co.start()
+                mbox_insert(blk)
 
                 @pl.when(pend >= 0)
                 def _():
@@ -430,6 +448,7 @@ def packet_traverse(flag, split, right, blk0, nblk, aabb,
             pltpu.SMEM((max(stack_depth, 2),), jnp.int32),
             pltpu.VMEM((max(stack_depth, 2), r8, 128), jnp.float32),
             pltpu.VMEM((max(stack_depth, 2), r8, 128), jnp.float32),
+            pltpu.SMEM((_MBOX + 1,), jnp.int32),      # mailbox ring + cursor
             pltpu.VMEM((2, 16, SP5), jnp.float32),    # double-buffered blocks
             pltpu.VMEM((2, 1, spad), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
