@@ -494,8 +494,16 @@ def _backend(kd, cfg):
         from .pallas.mt_kernel import on_tpu
 
         be = "packet" if on_tpu() else "xla"
-    if be == "packet" and (kd.block_g is None or kd.block_aabb is None):
-        return "xla"
+    if be == "packet":
+        if kd.block_g is None or kd.block_aabb is None:
+            return "xla"
+        # the packet kernel keeps node fields + block AABBs in SMEM
+        # (1 MB on v5e — measured overflow at mp=16 dragon trees);
+        # oversized trees fall back to the binned walk
+        m = kd.node_flag.shape[0]
+        b = kd.block_aabb.shape[1]
+        if 5 * 4 * m + 6 * 4 * b > 900_000:
+            return "binned"
     if be in ("mega", "forest"):
         from .pallas.traverse_kernel import MAX_NODES
 

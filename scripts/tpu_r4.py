@@ -277,6 +277,52 @@ def section_tiles():
         truth_time(ch, args, f"tile {i:3d} ch", k=2)
 
 
+def section_attrib1():
+    """Shadow-share attribution: the flagship scene with 1 light vs 9.
+    If the 10-bounce collapses, the 9-light shadow pass dominates."""
+    from dod_raytracer_tpu.render import render_rays
+    from dod_raytracer_tpu.scene import reference_lights
+
+    for nl in (1, 9):
+        scene, fz = flagship_scene(traversal_backend="packet",
+                                   MaxPrims=64, leaf_chunk_lanes=64)
+        if nl == 1:
+            lights = scene.lights
+            scene = scene.replace(lights=lights.replace(
+                position=lights.position[:1], intensity=lights.intensity[:1]))
+        tiles, tile = center_tiles(fz, k=2)
+
+        @jax.jit
+        def full(scene, o, d, d_raw):
+            return render_rays(scene, o, d, d_raw, fz)
+
+        truth_time(full, [(scene, o, d, r) for (o, d, r) in tiles],
+                   f"dragon 10-bounce [{nl} light(s)] 16k", k=1)
+
+
+def section_sweep2():
+    """Tree-shape re-sweep with the chunked+mailbox kernel: 10-bounce
+    cost (the number that matters), mp in {32, 64, 96}."""
+    from dod_raytracer_tpu.render import render_rays
+
+    for mp in (32, 64, 96):
+        try:
+            scene, fz = flagship_scene(
+                traversal_backend="packet",
+                MaxPrims=mp, leaf_chunk_lanes=mp)
+            tiles, tile = center_tiles(fz, k=2)
+
+            @jax.jit
+            def full(scene, o, d, d_raw):
+                return render_rays(scene, o, d, d_raw, fz)
+
+            truth_time(full, [(scene, o, d, r) for (o, d, r) in tiles],
+                       f"dragon 10-bounce [packet mp={mp}] 16k", k=1)
+        except Exception as e:
+            print(f"sweep2 mp={mp}: FAILED {type(e).__name__}: {e}",
+                  flush=True)
+
+
 def section_grad16():
     """Honest fwd+bwd (vertex grads) on a 16k dragon center tile."""
     import functools
