@@ -163,6 +163,20 @@ def _kernel(flag_s, split_s, right_s, blk0_s, nblk_s, aabb_s,
                 t = num / den
                 t = jnp.where(valid & (t > 0.0), t, _INF)
 
+                if any_hit:
+                    # shadows need only "any t strictly inside (0, clip)"
+                    # — no argmin, no prim id, no t_best bookkeeping
+                    row_clip = jnp.minimum(t_ref[c:c + 1, :],
+                                           clip0[c:c + 1, :])
+                    blocked = jnp.any(t < row_clip.reshape(128, 1), axis=1,
+                                      keepdims=True).reshape(1, 128)
+                    hit = (done_ref[c:c + 1, :] == 0) & blocked
+                    found_ref[c:c + 1, :] = (found_ref[c:c + 1, :]
+                                             | hit.astype(jnp.int32))
+                    done_ref[c:c + 1, :] = (done_ref[c:c + 1, :]
+                                            | hit.astype(jnp.int32))
+                    return
+
                 cols = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
                 t_min = jnp.min(t, axis=1, keepdims=True)      # (128, 1)
                 col_min = jnp.min(jnp.where(t == t_min, cols, spad), axis=1,
@@ -181,9 +195,6 @@ def _kernel(flag_s, split_s, right_s, blk0_s, nblk_s, aabb_s,
                                                  prim_ref[c:c + 1, :])
                 found_ref[c:c + 1, :] = (found_ref[c:c + 1, :]
                                          | improved.astype(jnp.int32))
-                if any_hit:
-                    done_ref[c:c + 1, :] = (done_ref[c:c + 1, :]
-                                            | improved.astype(jnp.int32))
 
     def block_wanted(blk):
         """Pre-DMA prune: any candidate ray at all, and not in the
