@@ -73,6 +73,12 @@ class Config:
     # sort the batched shadow wavefront per light by hit-point morton so
     # each light's rays form packet-friendly beams (exact permutation)
     sort_shadow: bool = True
+    # trace shadow rays FROM the light toward the surface: per-light
+    # shared-origin packets walk the tree like a single ray.  Identical
+    # segment in exact arithmetic; f32 rounding of the reversed
+    # intersection parameters can flip boundary-grazing occluders
+    # (epsilon-level image deviation) — opt-in.
+    shadow_reverse: bool = False
     # small-mesh crossover: meshes with <= this many triangles bypass the
     # kd walk for the batched brute-force intersector (0 = always use the
     # tree when built); threshold measured by scripts/tpu_sweep.py

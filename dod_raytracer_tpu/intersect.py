@@ -120,6 +120,23 @@ def closest_hit(scene, o, d, cfg, t_max=None) -> Hit:
     return jax.tree_util.tree_map(lambda x: checkpoint_name(x, "traversal"), hit)
 
 
+def occluded_families(scene, o, d, t_max, cfg) -> jnp.ndarray:
+    """Any-hit over the non-triangle families only (spheres keep the
+    reference's orientation-dependent origin-inside-misses quirk, so
+    reversed-shadow mode must run them with forward rays)."""
+    eps = cfg.Epsilon
+    blocked = sphere_ops.occluded_spheres(scene.spheres, o, d, t_max)
+    blocked |= plane_ops.occluded_planes(scene.planes, o, d, t_max, eps)
+    blocked |= cyl_ops.occluded_cylinders(scene.cylinders, o, d, t_max, eps, n_valid=scene.n_cylinders)
+    return blocked
+
+
+def occluded_triangles(scene, o, d, t_max, cfg) -> jnp.ndarray:
+    """Any-hit over the triangle mesh only (public split for the
+    reversed-shadow path)."""
+    return _triangles_occluded(scene, o, d, t_max, cfg)
+
+
 def occluded(scene, o, d, t_max, cfg) -> jnp.ndarray:
     """Any-hit visibility query: True where something blocks strictly before
     t_max (canSeeLight's family chain, main.cpp:198-218, as one OR).
@@ -128,10 +145,7 @@ def occluded(scene, o, d, t_max, cfg) -> jnp.ndarray:
     (t_max=-1 kills them at the root slab test) — the wavefront analogue
     of canSeeLight's early returns (main.cpp:198-218); the OR is
     unchanged, so results are identical."""
-    eps = cfg.Epsilon
-    blocked = sphere_ops.occluded_spheres(scene.spheres, o, d, t_max)
-    blocked |= plane_ops.occluded_planes(scene.planes, o, d, t_max, eps)
-    blocked |= cyl_ops.occluded_cylinders(scene.cylinders, o, d, t_max, eps, n_valid=scene.n_cylinders)
+    blocked = occluded_families(scene, o, d, t_max, cfg)
     t_tri = jnp.where(blocked, -1.0, t_max)
     blocked |= _triangles_occluded(scene, o, d, t_tri, cfg)
     return blocked

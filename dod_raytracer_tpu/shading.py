@@ -83,6 +83,30 @@ def light_visibility(scene, points, cfg, active=None, relevant=None) -> jnp.ndar
         o_f = o.reshape(L * n, 3)
         d_f = ldir.reshape(L * n, 3)
         t_f = dist.reshape(L * n)
+        reverse = getattr(cfg, "shadow_reverse", False)
+        if reverse:
+            # Reversed TRIANGLE occlusion: origin just past the light,
+            # direction toward the surface — every ray of a light shares
+            # ONE origin, so sorted packets are perfect cones and the
+            # shared kd descend degenerates to a single-ray-like walk.
+            # The tested segment is identical in exact arithmetic
+            # (o_r = l + 0.01*ldir, d_r = -ldir, same dist window), but
+            # f32 rounds the reversed intersection parameters
+            # differently, so boundary-grazing occluders can flip vs the
+            # forward orientation — an epsilon-level deviation, opt-in.
+            # The sphere/plane/cylinder families ALWAYS run forward: the
+            # reference's origin-inside-misses sphere quirk is
+            # orientation-dependent and must see the true ray origin.
+            from .intersect import occluded_families, occluded_triangles
+
+            blocked_fam = occluded_families(scene, o_f, d_f, t_f, cfg)
+            # o_r = l + 0.01*ldir (just PAST the light): the reversed
+            # window u in (0, dist) then covers exactly t_fwd in (0, dist)
+            o_r = jnp.broadcast_to(lp[:, None, :], (L, n, 3)) + ldir * SHADOW_OFFSET
+            d_r = -ldir
+            o_f2 = o_r.reshape(L * n, 3)
+            d_f2 = d_r.reshape(L * n, 3)
+            t_f2 = jnp.where(blocked_fam, -1.0, t_f)
         if getattr(cfg, "sort_shadow", True):
             # group each light's rays by hit-point locality: shadow rays
             # from clustered origins to one point light form a tight beam
@@ -91,15 +115,37 @@ def light_visibility(scene, points, cfg, active=None, relevant=None) -> jnp.ndar
             # packets stay dense.
             from .render import _sort_keys
 
-            key = _sort_keys(scene, o_f, d_f) & ((1 << 21) - 1)  # morton only
-            key = jnp.where(t_f < 0.0, 1 << 21, key)  # killed -> segment tail
+            full_key = _sort_keys(scene, o_f, d_f)
+            if reverse:
+                # shared-origin cones: group by direction bin (origins
+                # are all ~the light, morton is constant)
+                key = full_key >> 21  # 9-bit dirbin
+                kill_key, seg = 1 << 10, 1 << 11
+                tkill = t_f2
+            else:
+                key = full_key & ((1 << 21) - 1)  # hit-point morton
+                kill_key, seg = 1 << 21, 1 << 22
+                tkill = t_f
+            key = jnp.where(tkill < 0.0, kill_key, key)  # killed -> tail
             light_ix = jax.lax.broadcasted_iota(jnp.int32, (L, n), 0)
-            key = key + light_ix.reshape(L * n) * (1 << 22)
+            key = key + light_ix.reshape(L * n) * seg
             _, perm = jax.lax.sort_key_val(
                 key, jax.lax.broadcasted_iota(jnp.int32, (L * n,), 0))
-            blk_s = occluded(scene, o_f[perm], d_f[perm], t_f[perm], cfg)
+            if reverse:
+                from .intersect import occluded_triangles
+
+                blk_s = occluded_triangles(scene, o_f2[perm], d_f2[perm],
+                                           t_f2[perm], cfg)
+            else:
+                blk_s = occluded(scene, o_f[perm], d_f[perm], t_f[perm], cfg)
             _, blocked = jax.lax.sort_key_val(perm, blk_s)
             blocked = blocked.reshape(L, n)
+            if reverse:
+                blocked = blocked | blocked_fam.reshape(L, n)
+        elif reverse:
+            blocked = (blocked_fam
+                       | occluded_triangles(scene, o_f2, d_f2, t_f2, cfg)
+                       ).reshape(L, n)
         else:
             blocked = occluded(scene, o_f, d_f, t_f, cfg).reshape(L, n)
         return ~blocked.T

@@ -194,3 +194,23 @@ def test_sort_bounces_identical():
         scene = default_scene(seed=6, cfg=cfg, mesh="teapot").build(cfg)
         imgs.append(np.asarray(render_image(scene, cfg)))
     np.testing.assert_array_equal(imgs[0], imgs[1])
+
+
+def test_shadow_reverse_near_identical():
+    """Reversed (light-origin) shadow rays test the same segment in exact
+    arithmetic; only f32 boundary rounding may flip isolated occluders.
+    The images must agree everywhere except a tiny fraction of pixels."""
+    import numpy as np
+
+    from dod_raytracer_tpu import Config, render_image
+    from dod_raytracer_tpu.scene import default_scene
+
+    imgs = []
+    for rev in (False, True):
+        cfg = Config(Width=48, Height=24, use_kdtree=True, ray_tile=512,
+                     shadow_batch_lights=True, shadow_reverse=rev)
+        scene = default_scene(seed=6, cfg=cfg, mesh="teapot").build(cfg)
+        imgs.append(np.asarray(render_image(scene, cfg)))
+    diff = np.abs(imgs[0] - imgs[1]).max(axis=-1)
+    frac = float((diff > 1e-3).mean())
+    assert frac < 0.02, f"{frac:.4f} of pixels differ beyond 1e-3"
