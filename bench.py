@@ -124,12 +124,16 @@ def _truth_time(dispatch_k, label, budget_s=600.0):
     ta = time.perf_counter() - t0
     pa = max((ta - t1) / k, 1e-9)
     if t1 * 3 > budget_s:
-        # long frames: one differencing pass only; the spread vs T(1)
-        # still bounds reproducibility (T(1) carries the fetch overhead,
-        # so this overstates the true spread)
-        return dict(frame_seconds=pa, warmup_seconds=warm, t1=t1, k=k,
-                    spread=abs(t1 - pa) / pa, checksum=csum,
-                    finite=(fin1 and fin_a))
+        # long frames: differencing is fragile against the relay's
+        # multi-minute wedges (one polluted T(1+K) ruins the whole run).
+        # Each [dispatch -> fetch] wall is individually synchronized, so
+        # min(T1, Ta) is an honest UPPER bound on the frame time (it
+        # includes one checksum fetch, a few seconds) and robust to a
+        # single wedge.
+        per = min(t1, ta / (1 + k))
+        return dict(frame_seconds=per, warmup_seconds=warm, t1=t1, k=k,
+                    spread=abs(t1 - ta / (1 + k)) / per, checksum=csum,
+                    finite=(fin1 and fin_a), timing_note="upper_bound_incl_fetch")
     t0 = time.perf_counter()
     _, fin_b = _fetch_checksum(dispatch_k(1 + 2 * k), f"{label} T(1+{2*k})")
     tb = time.perf_counter() - t0

@@ -300,6 +300,33 @@ def section_attrib1():
                    f"dragon 10-bounce [{nl} light(s)] 16k", k=1)
 
 
+def section_revshadow():
+    """shadow_reverse on/off: 10-bounce cost + bit-flip rate on a center
+    tile (quantifies the epsilon deviation the mode trades for speed)."""
+    from dod_raytracer_tpu.render import render_rays
+
+    outs = {}
+    for rev in (True, False):
+        scene, fz = flagship_scene(
+            traversal_backend="packet", MaxPrims=64, leaf_chunk_lanes=64,
+            shadow_reverse=rev)
+        tiles, tile = center_tiles(fz, k=2)
+
+        @jax.jit
+        def full(scene, o, d, d_raw):
+            return render_rays(scene, o, d, d_raw, fz)
+
+        truth_time(full, [(scene, o, d, r) for (o, d, r) in tiles],
+                   f"dragon 10-bounce [rev={rev}] 16k", k=1)
+        o, d, r = tiles[0]
+        outs[rev] = full(scene, o, d, r)
+    a = fetch(outs[True], "rev img")
+    b = fetch(outs[False], "fwd img")
+    diff = np.abs(a - b).max(axis=-1)
+    print(f"rev-vs-fwd: {(diff > 1e-3).mean():.5f} of rays differ >1e-3, "
+          f"max {diff.max():.3e}", flush=True)
+
+
 def section_sweep2():
     """Tree-shape re-sweep with the chunked+mailbox kernel: 10-bounce
     cost (the number that matters), mp in {32, 64, 96}."""
