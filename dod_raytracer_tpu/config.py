@@ -73,12 +73,15 @@ class Config:
     # sort the batched shadow wavefront per light by hit-point morton so
     # each light's rays form packet-friendly beams (exact permutation)
     sort_shadow: bool = True
-    # trace shadow rays FROM the light toward the surface: per-light
-    # shared-origin packets walk the tree like a single ray.  Identical
-    # segment in exact arithmetic; f32 rounding of the reversed
-    # intersection parameters can flip boundary-grazing occluders
-    # (epsilon-level image deviation) — opt-in.
-    shadow_reverse: bool = False
+    # trace shadow-ray TRIANGLE occlusion FROM the light toward the
+    # surface: per-light shared-origin packets walk the tree like a
+    # single ray (measured 1.6x on the 10-bounce flagship tile with
+    # bit-identical output).  Identical segment in exact arithmetic; f32
+    # rounding of the reversed intersection parameters can flip
+    # boundary-grazing occluders (epsilon-level image deviation; zero
+    # flips observed on dragon tiles).  None = auto: ON on TPU, OFF on
+    # CPU/GPU (keeps host renders bit-exact vs the scalar oracle).
+    shadow_reverse: Optional[bool] = None
     # small-mesh crossover: meshes with <= this many triangles bypass the
     # kd walk for the batched brute-force intersector (0 = always use the
     # tree when built); threshold measured by scripts/tpu_sweep.py

@@ -83,7 +83,11 @@ def light_visibility(scene, points, cfg, active=None, relevant=None) -> jnp.ndar
         o_f = o.reshape(L * n, 3)
         d_f = ldir.reshape(L * n, 3)
         t_f = dist.reshape(L * n)
-        reverse = getattr(cfg, "shadow_reverse", False)
+        reverse = getattr(cfg, "shadow_reverse", None)
+        if reverse is None:
+            from .ops.pallas.mt_kernel import on_tpu
+
+            reverse = on_tpu()
         if reverse:
             # Reversed TRIANGLE occlusion: origin just past the light,
             # direction toward the surface — every ray of a light shares

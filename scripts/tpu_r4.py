@@ -407,15 +407,19 @@ def section_frame():
     t0 = time.perf_counter()
     fetch(_checksum(frame(1)), "frame warm")
     print(f"frame warm(compile+1) {time.perf_counter()-t0:.1f}s", flush=True)
-    t0 = time.perf_counter()
-    fetch(_checksum(frame(1)), "frame T1")
-    t1 = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    fetch(_checksum(frame(2)), "frame T2")
-    t2 = time.perf_counter() - t0
-    per = t2 - t1
-    print(f"packet FULL FRAME: {per:.2f}s -> {n/per/1e6:.3f} M rays/s "
-          f"(T1 {t1:.1f}s, T2 {t2:.1f}s)", flush=True)
+    # per-frame [dispatch -> fetch] walls: each individually synchronized
+    # (an honest upper bound incl. one checksum fetch) and robust to a
+    # single relay wedge — min of 3 is the headline
+    ts = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        fetch(_checksum(frame(1)), f"frame {i}")
+        ts.append(time.perf_counter() - t0)
+        print(f"frame {i}: {ts[-1]:.1f}s", flush=True)
+    per = min(ts)
+    print(f"packet FULL FRAME: {per:.2f}s (upper bound incl fetch; runs "
+          f"{[round(t,1) for t in ts]}) -> {n/per/1e3:.1f} k rays/s",
+          flush=True)
 
 
 def main():
