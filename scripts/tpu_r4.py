@@ -300,6 +300,29 @@ def section_attrib1():
                    f"dragon 10-bounce [{nl} light(s)] 16k", k=1)
 
 
+def section_sweep3():
+    """packet_tile sweep with the final kernel (chunked fold + mailbox +
+    reversed shadows): 10-bounce tile cost."""
+    from dod_raytracer_tpu.render import render_rays
+
+    for pt in (1024, 2048, 4096):
+        try:
+            scene, fz = flagship_scene(
+                traversal_backend="packet", packet_tile=pt,
+                MaxPrims=64, leaf_chunk_lanes=64)
+            tiles, tile = center_tiles(fz, k=2)
+
+            @jax.jit
+            def full(scene, o, d, d_raw):
+                return render_rays(scene, o, d, d_raw, fz)
+
+            truth_time(full, [(scene, o, d, r) for (o, d, r) in tiles],
+                       f"dragon 10-bounce [pt={pt}] 16k", k=1)
+        except Exception as e:
+            print(f"sweep3 pt={pt}: FAILED {type(e).__name__}: {e}",
+                  flush=True)
+
+
 def section_revshadow():
     """shadow_reverse on/off: 10-bounce cost + bit-flip rate on a center
     tile (quantifies the epsilon deviation the mode trades for speed)."""
