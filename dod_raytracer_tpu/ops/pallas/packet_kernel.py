@@ -59,6 +59,8 @@ _INF = float("inf")
 
 TILE = 1024  # rays per packet: per-ray state is (TILE//128, 128) = full vregs
 _MBOX = 8  # recently-processed-block mailbox ring (straddler dedup)
+_FIFO = 4  # pending-block DMA pipeline depth (slots); each block's
+# transfer gets up to _FIFO-1 process intervals to land
 
 
 def _kernel(flag_s, split_s, right_s, blk0_s, nblk_s, aabb_s,
@@ -66,7 +68,7 @@ def _kernel(flag_s, split_s, right_s, blk0_s, nblk_s, aabb_s,
             rays_ref, g_hbm, orig_hbm,
             t_ref, prim_ref, found_ref,
             tn_ref, tx_ref, done_ref, nstack_s, tn_stk, tx_stk,
-            mbox_s, g_vmem, orig_vmem, sem_g, sem_o,
+            mbox_s, pfifo_s, g_vmem, orig_vmem, sem_g, sem_o,
             *, spad: int, stack_depth: int, any_hit: bool, r8: int):
     r16 = rays_ref[:]                   # (TR, 16) Plücker rows
     clip0 = clip_ref[:]                 # per-ray t_max (R8, 128)
@@ -213,10 +215,11 @@ def _kernel(flag_s, split_s, right_s, blk0_s, nblk_s, aabb_s,
         mbox_s[cur] = blk
         mbox_s[_MBOX] = jax.lax.rem(cur + 1, _MBOX)
 
-    def leaf_fn(node, pend, pslot):
-        """Queue this leaf's surviving blocks through the pending pipeline:
-        start each block's DMA, then process the PREVIOUS block while the
-        new transfer flies."""
+    def leaf_fn(node, count, head):
+        """Queue this leaf's surviving blocks through the pending-FIFO
+        pipeline: start each block's DMA into a free slot; when the ring
+        is full, process the OLDEST block (whose transfer has had up to
+        _FIFO-1 process intervals to land)."""
         blk0 = blk0_s[node]
         nb = nblk_s[node]
 
@@ -225,35 +228,39 @@ def _kernel(flag_s, split_s, right_s, blk0_s, nblk_s, aabb_s,
             return (i < nb) & (live != 0)
 
         def blk_body(c):
-            i, pend, pslot, _ = c
+            i, count, head, _ = c
             blk = blk0 + i
 
             def enqueue(args):
-                pend, pslot = args
-                slot = 1 - pslot
+                count, head = args
+
+                @pl.when(count == _FIFO)
+                def _():
+                    process(pfifo_s[head], head)
+
+                count2 = jnp.where(count == _FIFO, _FIFO - 1, count)
+                head2 = jnp.where(count == _FIFO,
+                                  jax.lax.rem(head + 1, _FIFO), head)
+                slot = jax.lax.rem(head2 + count2, _FIFO)
                 cg, co = dma_pair(blk, slot)
                 cg.start()
                 co.start()
                 mbox_insert(blk)
+                pfifo_s[slot] = blk
+                return count2 + 1, head2
 
-                @pl.when(pend >= 0)
-                def _():
-                    process(pend, pslot)
-
-                return blk, slot
-
-            pend, pslot = jax.lax.cond(
-                block_wanted(blk), enqueue, lambda a: a, (pend, pslot))
+            count, head = jax.lax.cond(
+                block_wanted(blk), enqueue, lambda a: a, (count, head))
             live = (jnp.any(done_ref[:] == 0).astype(jnp.int32)
                     if any_hit else jnp.int32(1))
-            return i + 1, pend, pslot, live
+            return i + 1, count, head, live
 
-        _, pend, pslot, _ = jax.lax.while_loop(
-            blk_cond, blk_body, (jnp.int32(0), pend, pslot, jnp.int32(1)))
+        _, count, head, _ = jax.lax.while_loop(
+            blk_cond, blk_body, (jnp.int32(0), count, head, jnp.int32(1)))
         # cell consumed: empty the interval; the pop-collapse advances us
         tn_ref[:] = jnp.full((r8, 128), _INF, jnp.float32)
         tx_ref[:] = jnp.full((r8, 128), -_INF, jnp.float32)
-        return pend, pslot
+        return count, head
 
     # ---------------- interior: one shared descend step ----------------
     def interior_fn(node, sp, alive):
@@ -344,7 +351,7 @@ def _kernel(flag_s, split_s, right_s, blk0_s, nblk_s, aabb_s,
         return carry[2] != 0
 
     def body(carry):
-        node, sp, _, pend, pslot = carry
+        node, sp, _, count, head = carry
 
         # pop-collapse: drain dead stack entries in one outer iteration.
         # The loop cond must be pure on the carry (a cond that read the
@@ -370,29 +377,35 @@ def _kernel(flag_s, split_s, right_s, blk0_s, nblk_s, aabb_s,
             is_leaf = flag_s[node] >= 3
 
             def at_leaf(_):
-                pend2, pslot2 = leaf_fn(node, pend, pslot)
-                return node, sp, jnp.int32(1), pend2, pslot2
+                count2, head2 = leaf_fn(node, count, head)
+                return node, sp, jnp.int32(1), count2, head2
 
             def at_interior(_):
                 node2, sp2 = interior_fn(node, sp, alive_mask())
-                return node2, sp2, jnp.int32(1), pend, pslot
+                return node2, sp2, jnp.int32(1), count, head
 
             return jax.lax.cond(is_leaf, at_leaf, at_interior, 0)
 
         def finish(_):
-            return node, sp, jnp.int32(0), pend, pslot
+            return node, sp, jnp.int32(0), count, head
 
         return jax.lax.cond(any_alive, visit, finish, 0)
 
     run0 = jnp.any(act0 & ~(tx_ref[:] < tn_ref[:])).astype(jnp.int32)
-    _, _, _, pend, pslot = jax.lax.while_loop(
+    _, _, _, count, head = jax.lax.while_loop(
         cond, body, (jnp.int32(0), jnp.int32(0), run0,
-                     jnp.int32(-1), jnp.int32(0)))
+                     jnp.int32(0), jnp.int32(0)))
 
-    # drain the pipeline: one block may still be in flight
-    @pl.when(pend >= 0)
-    def _():
-        process(pend, pslot)
+    # drain the pipeline: up to _FIFO blocks may still be in flight
+    def drain_cond(c):
+        return c[0] > 0
+
+    def drain_body(c):
+        cnt, hd = c
+        process(pfifo_s[hd], hd)
+        return cnt - 1, jax.lax.rem(hd + 1, _FIFO)
+
+    jax.lax.while_loop(drain_cond, drain_body, (count, head))
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -460,10 +473,11 @@ def packet_traverse(flag, split, right, blk0, nblk, aabb,
             pltpu.VMEM((max(stack_depth, 2), r8, 128), jnp.float32),
             pltpu.VMEM((max(stack_depth, 2), r8, 128), jnp.float32),
             pltpu.SMEM((_MBOX + 1,), jnp.int32),      # mailbox ring + cursor
-            pltpu.VMEM((2, 16, SP5), jnp.float32),    # double-buffered blocks
-            pltpu.VMEM((2, 1, spad), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((_FIFO,), jnp.int32),          # pending-block ids
+            pltpu.VMEM((_FIFO, 16, SP5), jnp.float32),  # pipelined blocks
+            pltpu.VMEM((_FIFO, 1, spad), jnp.int32),
+            pltpu.SemaphoreType.DMA((_FIFO,)),
+            pltpu.SemaphoreType.DMA((_FIFO,)),
         ],
         interpret=interpret,
     )(flag, split, right, blk0, nblk, aabb, o3, d3, invd3, tmin, tmax, clip,
