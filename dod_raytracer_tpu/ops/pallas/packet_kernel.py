@@ -59,8 +59,10 @@ _INF = float("inf")
 
 TILE = 1024  # rays per packet: per-ray state is (TILE//128, 128) = full vregs
 _MBOX = 8  # recently-processed-block mailbox ring (straddler dedup)
-_FIFO = 4  # pending-block DMA pipeline depth (slots); each block's
-# transfer gets up to _FIFO-1 process intervals to land
+_FIFO = 2  # pending-block DMA pipeline depth (slots).  Measured on the
+# 10-bounce flagship tile: depth 4 is ~4% SLOWER than 2 (block DMA is
+# already hidden behind one fold interval; deeper rings only add scalar
+# ring bookkeeping per enqueue) — keep 2.
 
 
 def _kernel(flag_s, split_s, right_s, blk0_s, nblk_s, aabb_s,
