@@ -216,11 +216,9 @@ def _auto_ray_tile(n: int) -> int:
     tile.  (Retracted: the r3 "10x faster at 262144" tile sweep was
     dispatch-rate fiction.)  On CPU/GPU hosts stay small so tests and
     laptops bound their working set (the XLA path's leaf-block gather is
-    ~2.4 GB at 262144 rays — an OOM on consumer GPUs)."""
-    from .ops.pallas.mt_kernel import on_tpu
-
-    if on_tpu():
-        return min(32768, n)
+    ~2.4 GB at 262144 rays — an OOM on consumer GPUs).  Currently the
+    same cap everywhere; kept as a function so the next honest sweep can
+    re-split by backend."""
     return min(32768, n)
 
 
