@@ -88,6 +88,9 @@ class Config:
     brute_threshold: int = 0
     tri_shard_axis: str = ""  # mesh axis name when triangles are leaf-sharded
     replicate_reference_bugs: bool = False  # e.g. cylinder hit color dropped
+    # bounce-sort key composition: direction-major (beams) vs origin-major
+    # (clusters); measured on the flagship tile, see scripts/tpu_r4.py
+    sort_dir_major: bool = True
 
     @property
     def Ratio(self) -> float:

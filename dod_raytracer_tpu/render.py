@@ -96,8 +96,12 @@ def render_rays(scene, o, d, pixel_dirs, cfg: Config) -> jnp.ndarray:
             o, d, pixel_dirs, final, active, slot_pix = carry
             # re-group the scattered wavefront (exact permutation: every
             # per-ray quantity rides along, slot_pix tracks the inverse)
+            key = _sort_keys(scene, o, d)
+            if not getattr(cfg, "sort_dir_major", True):
+                # origin-major variant: morton high bits, dirbin low
+                key = (key & ((1 << 21) - 1)) * (1 << 9) + (key >> 21)
             _, perm = jax.lax.sort_key_val(
-                _sort_keys(scene, o, d),
+                key,
                 jax.lax.broadcasted_iota(jnp.int32, (o.shape[0],), 0))
             o, d, pixel_dirs = o[perm], d[perm], pixel_dirs[perm]
             final, active, slot_pix = final[perm], active[perm], slot_pix[perm]

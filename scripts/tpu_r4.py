@@ -300,6 +300,24 @@ def section_attrib1():
                    f"dragon 10-bounce [{nl} light(s)] 16k", k=1)
 
 
+def section_keysweep():
+    """Bounce-sort key composition: dir-major vs origin-major 10-bounce."""
+    from dod_raytracer_tpu.render import render_rays
+
+    for dm in (True, False):
+        scene, fz = flagship_scene(
+            traversal_backend="packet", MaxPrims=64, leaf_chunk_lanes=64,
+            sort_dir_major=dm)
+        tiles, tile = center_tiles(fz, k=2)
+
+        @jax.jit
+        def full(scene, o, d, d_raw):
+            return render_rays(scene, o, d, d_raw, fz)
+
+        truth_time(full, [(scene, o, d, r) for (o, d, r) in tiles],
+                   f"dragon 10-bounce [dir_major={dm}] 16k", k=1)
+
+
 def section_sweep3():
     """packet_tile sweep with the final kernel (chunked fold + mailbox +
     reversed shadows): 10-bounce tile cost."""
