@@ -88,9 +88,11 @@ class Config:
     brute_threshold: int = 0
     tri_shard_axis: str = ""  # mesh axis name when triangles are leaf-sharded
     replicate_reference_bugs: bool = False  # e.g. cylinder hit color dropped
-    # bounce-sort key composition: direction-major (beams) vs origin-major
-    # (clusters); measured on the flagship tile, see scripts/tpu_r4.py
-    sort_dir_major: bool = True
+    # bounce-sort key composition: origin-major (morton clusters, dirbin
+    # minor) measured 12% faster than direction-major on the 10-bounce
+    # flagship tile (chunk gating rewards origin-consecutive rays more
+    # than parallel directions; scripts/tpu_r4.py section_keysweep)
+    sort_dir_major: bool = False
 
     @property
     def Ratio(self) -> float:
