@@ -6,8 +6,17 @@ Sections (run: python scripts/tpu_r4.py [section ...]):
   packet   : closest / any-hit / bounce / 10-bounce honest times for the
              packet backend on dragon center tiles, vs binned
   sweep    : packet_tile x tree shape (MaxPrims) honest sweep
+  sweep2/3 : tree-shape / packet-tile re-sweeps with the final kernel
+  keysweep : bounce-sort key composition (dir-major vs origin-major)
+  attrib1  : shadow-share attribution (1 light vs 9)
+  revshadow: reversed shadow cones on/off + bit-flip rate
+  depths   : per-bounce marginal cost curve
+  tiles    : per-tile closest-hit cost around frame center
+  grad16   : honest fwd+bwd on a center tile
+  prod     : 262k-ray production-shape probes (NB: 262k 10-bounce in one
+             program crashes the TPU worker - runtime watchdog)
   teapot   : teapot closest-hit packet vs mega
-  frame    : honest full-frame dragon@1080p with the packet flagship config
+  frame    : honest full-frame dragon@1080p (min-of-3 per-frame walls)
 """
 
 import os
