@@ -49,6 +49,19 @@ class Config:
     treelet_cap: int = 0  # forest treelet node cap (0 = kernel MAX_NODES); 128-multiple
     forest_tile: int = 0  # forest kernel rays/tile (0 = kernel TILE default)
     packet_tile: int = 0  # packet kernel rays/tile (0 = kernel TILE default, 128-mult)
+    # packet fold-epilogue gating granularity: the per-chunk VPU epilogue
+    # runs per group of 128/fold_groups matmul rows, each gated on having
+    # candidate rays (exact skip).  Measured on v5e (scripts/tpu_r5.py
+    # foldsweep): gating LOSES — within a visited chunk candidates are
+    # dense, so the per-group lax.cond branches add pure overhead
+    # (10-bounce tile: fg=1 1.39s, fg=4 1.46s, fg=8 1.60s, fg=16 1.85s).
+    # Default ungated; the knob stays for re-measurement on new shapes.
+    fold_groups: int = 1  # in {1, 2, 4, 8, 16}
+    # move terminated rays to the tail of every bounce re-sort (exact:
+    # dead rays are pass-through rows).  Compacts live rays into fewer,
+    # denser packets at the cost of spatially wider per-packet unions;
+    # measured per-scene (scripts/tpu_r5.py killsweep)
+    sort_kill_tail: bool = False
     # frame rays in 8x128 screen-block order (compact per-packet frustums
     # for the packet traversal); auto-disabled when W/H don't divide
     block_ray_order: bool = True

@@ -156,11 +156,14 @@ def load_ply(path: str):
                 if fmt != "ascii" and len(props) != 1:
                     raise ValueError(
                         f"{path}: extra binary face properties unsupported")
+                # scalar props may precede the index list (each is one
+                # ascii token per row); the count token sits after them
+                lead = props.index(list_props[0])
                 for _ in range(count):
                     if fmt == "ascii":
                         nums = f.readline().split()
-                        k = int(nums[0])
-                        idx = [int(x) for x in nums[1:1 + k]]
+                        k = int(nums[lead])
+                        idx = [int(x) for x in nums[lead + 1:lead + 1 + k]]
                     else:
                         cnt_t = endian + _PLY_TYPES[list_props[0][2]]
                         idx_t = endian + _PLY_TYPES[list_props[0][3]]

@@ -70,8 +70,9 @@ def _kernel(flag_s, split_s, right_s, blk0_s, nblk_s, aabb_s,
             rays_ref, g_hbm, orig_hbm,
             t_ref, prim_ref, found_ref,
             tn_ref, tx_ref, done_ref, nstack_s, tn_stk, tx_stk,
-            mbox_s, pfifo_s, g_vmem, orig_vmem, sem_g, sem_o,
-            *, spad: int, stack_depth: int, any_hit: bool, r8: int):
+            mbox_s, pfifo_s, pwords_s, g_vmem, orig_vmem, sem_g, sem_o,
+            *, spad: int, stack_depth: int, any_hit: bool, r8: int,
+            fold_groups: int):
     r16 = rays_ref[:]                   # (TR, 16) Plücker rows
     clip0 = clip_ref[:]                 # per-ray t_max (R8, 128)
     act0 = act_ref[:] != 0
@@ -88,6 +89,14 @@ def _kernel(flag_s, split_s, right_s, blk0_s, nblk_s, aabb_s,
     for i in range(_MBOX):
         mbox_s[i] = jnp.int32(-1)
     mbox_s[_MBOX] = jnp.int32(0)  # ring insert cursor
+
+    # packet mean origin (one-time reduces): the interior near-first vote
+    # is a pure scalar comparison against this instead of a per-node
+    # majority reduce (ordering is a heuristic; any order is correct)
+    inv_n = 1.0 / (r8 * 128)
+    o_mean = (jnp.sum(ox) * inv_n, jnp.sum(oy) * inv_n, jnp.sum(oz) * inv_n)
+    gsz = 128 // fold_groups      # rays per gated fold sub-chunk
+    nwords = -(-r8 * fold_groups // 32)  # bit-packed gate words per block
 
     def alive_mask():
         """Rays whose current interval may still contain a closer hit.
@@ -129,88 +138,121 @@ def _kernel(flag_s, split_s, right_s, blk0_s, nblk_s, aabb_s,
         rejected = (tlo > thi) | (thi <= 0.0) | (tlo >= clip)
         return (done_ref[:] == 0) & ~rejected
 
-    def process(blk, slot):
-        """Wait the slot's DMA, intersect CANDIDATE 128-ray chunks vs the
-        block, fold per-ray minima (strict improvement vs current clip).
-
-        The fold is chunked by sublane row: with the beam-sorted
-        wavefront, the rays needing a block sit consecutively, so
-        incoherent packets pay 1-2 of the R8 chunks instead of a
-        full-tile matmul+epilogue per visit.  Chunk skipping is exact
-        (block_candidates is a superset of foldable rays)."""
+    def candidate_words(blk):
+        """Bit-packed (chunk, group) candidate gates: per-group
+        lane-reduces give (r8, 1) any-bits (pure vector work), each
+        (c, g) gate gets a distinct power-of-two weight, and the sum of
+        distinct powers of two IS the bitwise-or (no carries) — ONE
+        vector->scalar sync per 32 gate bits instead of one per chunk.
+        Computed once at enqueue time; t_best only tightens afterwards,
+        so the stored gates are a superset of the process-time candidate
+        set and gating with them is exact."""
         cand = block_candidates(blk)    # (R8, 128)
+        row_ix = jax.lax.broadcasted_iota(jnp.int32, (r8, 1), 0)
+        words = []
+        for w in range(nwords):
+            acc = None
+            for g in range(fold_groups):
+                ga = jnp.any(cand[:, g * gsz:(g + 1) * gsz], axis=1,
+                             keepdims=True)          # (r8, 1) lane-reduce
+                bit = row_ix * fold_groups + g
+                inw = (bit // 32) == w
+                # 1 << 31 wraps to int32 min via the vector shift — the
+                # scalar bit test below is shift+mask, sign-agnostic
+                wgt = jnp.where(ga & inw,
+                                jnp.left_shift(jnp.int32(1), bit % 32), 0)
+                acc = wgt if acc is None else acc + wgt
+            words.append(jnp.sum(acc))               # the ONE sync
+        return words
+
+    def process(blk, slot):
+        """Wait the slot's DMA and fold the block into the per-ray state,
+        sub-chunk by sub-chunk: the VPU epilogue (sign ladder, divide,
+        min/argmin — the 9x-the-matmul cost, BASELINE.md speed-of-light
+        table) runs per GROUP of 128/fold_groups matmul rows, gated by
+        the bit-packed candidate words stored at enqueue time — zero
+        vector->scalar syncs here.  With the beam-sorted wavefront an
+        incoherent late-bounce packet pays 1-2 sub-chunks instead of a
+        full 128-wide fold per visit; skipped sub-chunks merge as +inf
+        (no improvement), which is exact."""
         cg, co = dma_pair(blk, slot)
         cg.wait()
         co.wait()
         orig = orig_vmem[slot, 0]       # (Spad,) i32
 
+        def fold_sub(c, g):
+            """Matmul + epilogue for rays [c*128 + g*gsz, +gsz), merged
+            into this sub-chunk's lanes of the per-ray state."""
+            r0 = c * 128 + g * gsz
+            out = jnp.dot(r16[r0:r0 + gsz, :], g_vmem[slot],
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+            s0 = out[:, 0 * spad:1 * spad]
+            s1 = out[:, 1 * spad:2 * spad]
+            s2 = out[:, 2 * spad:3 * spad]
+            den = out[:, 3 * spad:4 * spad]
+            num = out[:, 4 * spad:5 * spad]
+            # same-strict-sign via min/max: lo>0 <=> all sides >0,
+            # hi<0 <=> all <0 — exactly (pos|neg) of the reference
+            # ladder.  No den!=0 / orig-mask passes needed: empty
+            # lanes have all-zero Plücker columns (lo=hi=0 ->
+            # invalid) and den==0 yields inf/NaN t which the strict
+            # (t>0, t<clip) folds reject.
+            lo = jnp.minimum(jnp.minimum(s0, s1), s2)
+            hi = jnp.maximum(jnp.maximum(s0, s1), s2)
+            valid = (lo > 0.0) | (hi < 0.0)
+            t = num / den
+            tq = jnp.where(valid & (t > 0.0), t, _INF)
+            tmin = jnp.min(tq, axis=1, keepdims=True)   # (gsz, 1)
+            tm = tmin.reshape(1, gsz)
+            lsl = slice(g * gsz, (g + 1) * gsz)  # this sub-chunk's lanes
+            row = t_ref[c:c + 1, lsl]
+            clip = jnp.minimum(row, clip0[c:c + 1, lsl])
+
+            if any_hit:
+                # shadows need only "any t strictly inside (0, clip)"
+                # == "min t < clip" — no argmin
+                hit = (done_ref[c:c + 1, lsl] == 0) & (tm < clip)
+                found_ref[c:c + 1, lsl] = (found_ref[c:c + 1, lsl]
+                                           | hit.astype(jnp.int32))
+                done_ref[c:c + 1, lsl] = (done_ref[c:c + 1, lsl]
+                                          | hit.astype(jnp.int32))
+                return
+
+            # equal-t ties break to the smallest original prim id
+            # (the per-ray walks break by visit order; flips are
+            # only possible at EXACTLY equal t — the tolerance
+            # the straddler-duplicate semantics already grant)
+            ob = jnp.broadcast_to(orig[None, :], tq.shape)
+            im = jnp.min(jnp.where(tq == tmin, ob, 2**30),
+                         axis=1, keepdims=True).reshape(1, gsz)
+            improved = (done_ref[c:c + 1, lsl] == 0) & (tm < clip)
+            t_ref[c:c + 1, lsl] = jnp.where(improved, tm, row)
+            prim_ref[c:c + 1, lsl] = jnp.where(
+                improved, im, prim_ref[c:c + 1, lsl])
+            found_ref[c:c + 1, lsl] = (found_ref[c:c + 1, lsl]
+                                       | improved.astype(jnp.int32))
+
+        words = [pwords_s[slot, w] for w in range(nwords)]  # scalar reads
         for c in range(r8):
-            @pl.when(jnp.any(cand[c:c + 1, :]))
-            def _(c=c):
-                out = jnp.dot(r16[c * 128:(c + 1) * 128, :], g_vmem[slot],
-                              preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST)
-                s0 = out[:, 0 * spad:1 * spad]
-                s1 = out[:, 1 * spad:2 * spad]
-                s2 = out[:, 2 * spad:3 * spad]
-                den = out[:, 3 * spad:4 * spad]
-                num = out[:, 4 * spad:5 * spad]
-                # same-strict-sign via min/max: lo>0 <=> all sides >0,
-                # hi<0 <=> all <0 — exactly (pos|neg) of the reference
-                # ladder.  No den!=0 / orig-mask passes needed: empty
-                # lanes have all-zero Plücker columns (lo=hi=0 ->
-                # invalid) and den==0 yields inf/NaN t which the strict
-                # (t>0, t<clip) folds reject.
-                lo = jnp.minimum(jnp.minimum(s0, s1), s2)
-                hi = jnp.maximum(jnp.maximum(s0, s1), s2)
-                valid = (lo > 0.0) | (hi < 0.0)
-                t = num / den
-                t = jnp.where(valid & (t > 0.0), t, _INF)
+            for g in range(fold_groups):
+                bit = c * fold_groups + g
+                gate = (words[bit // 32] >> (bit % 32)) & 1
 
-                if any_hit:
-                    # shadows need only "any t strictly inside (0, clip)"
-                    # — no argmin, no prim id, no t_best bookkeeping
-                    row_clip = jnp.minimum(t_ref[c:c + 1, :],
-                                           clip0[c:c + 1, :])
-                    blocked = jnp.any(t < row_clip.reshape(128, 1), axis=1,
-                                      keepdims=True).reshape(1, 128)
-                    hit = (done_ref[c:c + 1, :] == 0) & blocked
-                    found_ref[c:c + 1, :] = (found_ref[c:c + 1, :]
-                                             | hit.astype(jnp.int32))
-                    done_ref[c:c + 1, :] = (done_ref[c:c + 1, :]
-                                            | hit.astype(jnp.int32))
-                    return
+                @pl.when(gate != 0)
+                def _(c=c, g=g):
+                    fold_sub(c, g)
 
-                cols = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-                t_min = jnp.min(t, axis=1, keepdims=True)      # (128, 1)
-                col_min = jnp.min(jnp.where(t == t_min, cols, spad), axis=1,
-                                  keepdims=True)
-                orig_b = jnp.broadcast_to(orig[None, :], t.shape)
-                idx_min = jnp.min(jnp.where(cols == col_min, orig_b, 2**30),
-                                  axis=1, keepdims=True)
-
-                tm = t_min.reshape(1, 128)
-                im = idx_min.reshape(1, 128)
-                row = t_ref[c:c + 1, :]
-                clip = jnp.minimum(row, clip0[c:c + 1, :])
-                improved = (done_ref[c:c + 1, :] == 0) & (tm < clip)
-                t_ref[c:c + 1, :] = jnp.where(improved, tm, row)
-                prim_ref[c:c + 1, :] = jnp.where(improved, im,
-                                                 prim_ref[c:c + 1, :])
-                found_ref[c:c + 1, :] = (found_ref[c:c + 1, :]
-                                         | improved.astype(jnp.int32))
-
-    def block_wanted(blk):
-        """Pre-DMA prune: any candidate ray at all, and not in the
-        mailbox?  Duplicated straddler lanes put the same block in many
-        leaves (kdtree.cpp:229-244); a block tested once this walk cannot
-        fold anything new (same candidates, clip only tightens), so a
-        small ring of recently-processed block ids skips retests —
-        exact."""
+    def block_seen(blk):
+        """Mailbox test (pure scalar ops): duplicated straddler lanes put
+        the same block in many leaves (kdtree.cpp:229-244); a block
+        tested once this walk cannot fold anything new (same candidates,
+        clip only tightens), so a small ring of recently-processed block
+        ids skips retests — exact."""
         seen = mbox_s[0] == blk
         for i in range(1, _MBOX):
             seen = seen | (mbox_s[i] == blk)
-        return ~seen & jnp.any(block_candidates(blk))
+        return seen
 
     def mbox_insert(blk):
         cur = mbox_s[_MBOX]
@@ -233,26 +275,41 @@ def _kernel(flag_s, split_s, right_s, blk0_s, nblk_s, aabb_s,
             i, count, head, _ = c
             blk = blk0 + i
 
-            def enqueue(args):
+            def check_enqueue(args):
                 count, head = args
+                # nwords vector->scalar syncs: the block's only ones —
+                # they double as the pre-DMA prune AND the stored
+                # per-sub-chunk fold gates
+                words = candidate_words(blk)
+                wanted = words[0]
+                for w in words[1:]:
+                    wanted = wanted | w
 
-                @pl.when(count == _FIFO)
-                def _():
-                    process(pfifo_s[head], head)
+                def enqueue(args2):
+                    count, head = args2
 
-                count2 = jnp.where(count == _FIFO, _FIFO - 1, count)
-                head2 = jnp.where(count == _FIFO,
-                                  jax.lax.rem(head + 1, _FIFO), head)
-                slot = jax.lax.rem(head2 + count2, _FIFO)
-                cg, co = dma_pair(blk, slot)
-                cg.start()
-                co.start()
-                mbox_insert(blk)
-                pfifo_s[slot] = blk
-                return count2 + 1, head2
+                    @pl.when(count == _FIFO)
+                    def _():
+                        process(pfifo_s[head], head)
+
+                    count2 = jnp.where(count == _FIFO, _FIFO - 1, count)
+                    head2 = jnp.where(count == _FIFO,
+                                      jax.lax.rem(head + 1, _FIFO), head)
+                    slot = jax.lax.rem(head2 + count2, _FIFO)
+                    cg, co = dma_pair(blk, slot)
+                    cg.start()
+                    co.start()
+                    mbox_insert(blk)
+                    pfifo_s[slot] = blk
+                    for w in range(nwords):
+                        pwords_s[slot, w] = words[w]
+                    return count2 + 1, head2
+
+                return jax.lax.cond(wanted != 0, enqueue, lambda a: a,
+                                    (count, head))
 
             count, head = jax.lax.cond(
-                block_wanted(blk), enqueue, lambda a: a, (count, head))
+                ~block_seen(blk), check_enqueue, lambda a: a, (count, head))
             live = (jnp.any(done_ref[:] == 0).astype(jnp.int32)
                     if any_hit else jnp.int32(1))
             return i + 1, count, head, live
@@ -303,23 +360,37 @@ def _kernel(flag_s, split_s, right_s, blk0_s, nblk_s, aabb_s,
         live = done_ref[:] == 0
         aliveL = live & ~(txL < tnL) & ~(clip < tnL)
         aliveR = live & ~(txR < tnR) & ~(clip < tnR)
-        nl = jnp.sum(aliveL.astype(jnp.int32))
-        nr = jnp.sum(aliveR.astype(jnp.int32))
-        # majority near-first ordering (a termination heuristic only: any
-        # order is correct, near-first tightens t_best sooner)
-        either = aliveL | aliveR
-        n_near_left = jnp.sum((either & near_is_left).astype(jnp.int32))
-        left_first = 2 * n_near_left >= jnp.sum(either.astype(jnp.int32))
+        # ONE packed scalar reduce instead of four (each vector->scalar
+        # sync costs ~0.3-0.5 us and this runs per interior node):
+        # s1 packs [nl | nr<<15]; counts <= tile fit 15 bits (asserted at
+        # trace time).  The near-first ordering vote uses the packet's
+        # precomputed mean origin vs the split plane — a pure scalar
+        # comparison.  Ordering is a termination heuristic only (any
+        # order is correct; equal-t ties break by prim id, not visit
+        # order), so the cheaper vote cannot change results.
+        assert r8 * 128 < (1 << 15), "packed descend counters overflow"
+        s1 = jnp.sum(aliveL.astype(jnp.int32)
+                     + (aliveR.astype(jnp.int32) << 15))
+        nl = s1 & ((1 << 15) - 1)
+        nr = s1 >> 15
+        o_mean_ax = jax.lax.switch(flag, [lambda: o_mean[0],
+                                          lambda: o_mean[1],
+                                          lambda: o_mean[2]])
+        left_first = o_mean_ax < split
 
         def both(_):
             def push_second(second, tns, txs, first, tnf, txf):
+                # overflow (possible only when the kd depth exceeds
+                # cfg.stack_depth) degrades to dropping the deepest
+                # entry: clamp the returned sp like the write index, so
+                # pops never read past the stack
                 sp_c = jnp.minimum(sp, stack_depth - 1)
                 nstack_s[sp_c] = second
                 tn_stk[sp_c] = tns
                 tx_stk[sp_c] = txs
                 tn_ref[:] = tnf
                 tx_ref[:] = txf
-                return first, sp + 1
+                return first, jnp.minimum(sp + 1, stack_depth)
 
             def lf(_):
                 return push_second(right, tnR, txR, left, tnL, txL)
@@ -346,14 +417,22 @@ def _kernel(flag_s, split_s, right_s, blk0_s, nblk_s, aabb_s,
 
         case = jnp.where(nl > 0, jnp.where(nr > 0, 3, 1),
                          jnp.where(nr > 0, 2, 0))
-        return jax.lax.switch(case, [neither, only_left, only_right, both], 0)
+        node2, sp2 = jax.lax.switch(
+            case, [neither, only_left, only_right, both], 0)
+        # the chosen child's aliveness IS next iteration's aliveness — the
+        # outer loop carries it instead of re-reducing at its top
+        return node2, sp2, (case != 0).astype(jnp.int32)
 
     # ---------------- outer walk ----------------
+    # Aliveness of the CURRENT interval rides the carry (computed by the
+    # previous visit: a descend knows its chosen child's aliveness, a
+    # consumed leaf is dead by construction, a pop recomputes it), so the
+    # loop top pays no per-iteration vector->scalar sync.
     def cond(carry):
-        return carry[2] != 0
+        return (carry[2] != 0) | (carry[1] > 0)
 
     def body(carry):
-        node, sp, _, count, head = carry
+        node, sp, aa_in, count, head = carry
 
         # pop-collapse: drain dead stack entries in one outer iteration.
         # The loop cond must be pure on the carry (a cond that read the
@@ -363,39 +442,41 @@ def _kernel(flag_s, split_s, right_s, blk0_s, nblk_s, aabb_s,
             return c[2] != 0
 
         def pbody(c):
-            _, sp2, _ = c
+            _, sp2, _, _ = c
             sp2 = sp2 - 1
             tn_ref[:] = tn_stk[sp2]
             tx_ref[:] = tx_stk[sp2]
-            more = (sp2 > 0) & ~jnp.any(alive_mask())
-            return nstack_s[sp2], sp2, more.astype(jnp.int32)
+            aa = jnp.any(alive_mask())
+            more = (sp2 > 0) & ~aa
+            return (nstack_s[sp2], sp2, more.astype(jnp.int32),
+                    aa.astype(jnp.int32))
 
-        more0 = (sp > 0) & ~jnp.any(alive_mask())
-        node, sp, _ = jax.lax.while_loop(
-            pcond, pbody, (node, sp, more0.astype(jnp.int32)))
-        any_alive = jnp.any(alive_mask())
+        more0 = (sp > 0) & (aa_in == 0)
+        node, sp, _, any_alive = jax.lax.while_loop(
+            pcond, pbody, (node, sp, more0.astype(jnp.int32), aa_in))
 
         def visit(_):
             is_leaf = flag_s[node] >= 3
 
             def at_leaf(_):
                 count2, head2 = leaf_fn(node, count, head)
-                return node, sp, jnp.int32(1), count2, head2
+                # leaf_fn empties the interval: dead until the next pop
+                return node, sp, jnp.int32(0), count2, head2
 
             def at_interior(_):
-                node2, sp2 = interior_fn(node, sp, alive_mask())
-                return node2, sp2, jnp.int32(1), count, head
+                node2, sp2, aa2 = interior_fn(node, sp, alive_mask())
+                return node2, sp2, aa2, count, head
 
             return jax.lax.cond(is_leaf, at_leaf, at_interior, 0)
 
         def finish(_):
             return node, sp, jnp.int32(0), count, head
 
-        return jax.lax.cond(any_alive, visit, finish, 0)
+        return jax.lax.cond(any_alive != 0, visit, finish, 0)
 
-    run0 = jnp.any(act0 & ~(tx_ref[:] < tn_ref[:])).astype(jnp.int32)
+    aa_init = jnp.any(alive_mask()).astype(jnp.int32)
     _, _, _, count, head = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), jnp.int32(0), run0,
+        cond, body, (jnp.int32(0), jnp.int32(0), aa_init,
                      jnp.int32(0), jnp.int32(0)))
 
     # drain the pipeline: up to _FIFO blocks may still be in flight
@@ -411,12 +492,13 @@ def _kernel(flag_s, split_s, right_s, blk0_s, nblk_s, aabb_s,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "stack_depth", "any_hit", "interpret", "tile"))
+    "stack_depth", "any_hit", "interpret", "tile", "fold_groups"))
 def packet_traverse(flag, split, right, blk0, nblk, aabb,
                     o3, d3, invd3, tmin, tmax, clip, act, rays,
                     block_g, block_orig_p,
                     stack_depth: int, any_hit: bool = False,
-                    interpret: bool = False, tile: int = TILE):
+                    interpret: bool = False, tile: int = TILE,
+                    fold_groups: int = 8):
     """Packet kd traversal for N rays (N % tile == 0).
 
     Args:
@@ -433,6 +515,7 @@ def packet_traverse(flag, split, right, blk0, nblk, aabb,
     n128 = tmin.shape[0]
     n = n128 * 128
     assert n % tile == 0 and tile % 128 == 0
+    assert fold_groups in (1, 2, 4, 8, 16), fold_groups
     r8 = tile // 128
     grid = (n // tile,)
     B, K, SP5 = block_g.shape
@@ -445,7 +528,7 @@ def packet_traverse(flag, split, right, blk0, nblk, aabb,
 
     return pl.pallas_call(
         functools.partial(_kernel, spad=spad, stack_depth=stack_depth,
-                          any_hit=any_hit, r8=r8),
+                          any_hit=any_hit, r8=r8, fold_groups=fold_groups),
         grid=grid,
         in_specs=[
             smem(), smem(), smem(), smem(), smem(), smem(),
@@ -476,6 +559,8 @@ def packet_traverse(flag, split, right, blk0, nblk, aabb,
             pltpu.VMEM((max(stack_depth, 2), r8, 128), jnp.float32),
             pltpu.SMEM((_MBOX + 1,), jnp.int32),      # mailbox ring + cursor
             pltpu.SMEM((_FIFO,), jnp.int32),          # pending-block ids
+            pltpu.SMEM((_FIFO, -(-r8 * fold_groups // 32)),
+                       jnp.int32),                    # pending gate words
             pltpu.VMEM((_FIFO, 16, SP5), jnp.float32),  # pipelined blocks
             pltpu.VMEM((_FIFO, 1, spad), jnp.int32),
             pltpu.SemaphoreType.DMA((_FIFO,)),

@@ -438,7 +438,8 @@ def _traverse_packet(kd, o, d, t_max, cfg, any_hit: bool):
         lanes(t_max.astype(jnp.float32)), lanes(active0.astype(jnp.int32)),
         rays, kd.block_g, orig[:, None, :],
         stack_depth=_stack_depth(kd, cfg), any_hit=any_hit,
-        interpret=not on_tpu(), tile=tile)
+        interpret=not on_tpu(), tile=tile,
+        fold_groups=int(getattr(cfg, "fold_groups", 8) or 8))
     flat = lambda v: v.reshape(n)[:n0]
     return flat(t_best), flat(prim), flat(found).astype(bool)
 
@@ -495,8 +496,17 @@ def _backend(kd, cfg):
 
         be = "packet" if on_tpu() else "xla"
     if be == "packet":
-        if kd.block_g is None or kd.block_aabb is None:
+        if kd.block_g is None:
             return "xla"
+        if kd.block_aabb is None:
+            # blocks exist but no per-block AABBs (shouldn't happen for
+            # production builds — both kdtree.refresh_kd_blocks and the
+            # leaf-sharded _blocks_for populate them): degrade to the
+            # fast per-ray walks, not the slow XLA gather walk
+            from .pallas.traverse_kernel import MAX_NODES
+
+            return ("binned" if kd.node_flag.shape[0] > MAX_NODES
+                    else "mega")
         # the packet kernel keeps node fields + block AABBs in SMEM
         # (1 MB on v5e — measured overflow at mp=16 dragon trees);
         # oversized trees fall back to the binned walk

@@ -56,23 +56,32 @@ def _morton_order(tv: np.ndarray) -> np.ndarray:
 
 def _blocks_for(v, orig):
     """One shard's pre-packed leaf blocks from its (S,3,3) verts and
-    (B, block) original-id table (the monolithic refresh_kd_blocks math)."""
+    (B, block) original-id table (the monolithic refresh_kd_blocks math),
+    including the per-block vertex AABBs the packet kernel's pre-DMA
+    prune needs (same [+inf,-inf]-for-empty-slots convention as
+    accel.kdtree.refresh_kd_blocks)."""
     from ..ops.pallas.block_loop_kernel import pack_block_g
 
     gv = jnp.where((orig >= 0)[..., None, None], v[jnp.maximum(orig, 0)], 0.0)
     A = gv[..., 0, :]
     rows = jnp.concatenate([A, gv[..., 1, :] - A, gv[..., 2, :] - A], axis=-1)
-    return rows, pack_block_g(gv)
+    vmask = (orig >= 0)[..., None, None]
+    vmin = jnp.where(vmask, gv, jnp.inf).min(axis=(1, 2))    # (B, 3)
+    vmax = jnp.where(vmask, gv, -jnp.inf).max(axis=(1, 2))   # (B, 3)
+    aabb = jnp.concatenate([vmin, vmax], axis=1).T           # (6, B)
+    return rows, pack_block_g(gv), aabb
 
 
 def refresh_kd_blocks_stacked(kd: KDArrays, verts_stacked) -> KDArrays:
     """Re-materialize the per-shard leaf blocks after a vertex update
-    (stacked analogue of accel.kdtree.refresh_kd_blocks)."""
+    (stacked analogue of accel.kdtree.refresh_kd_blocks).  block_aabb is
+    refreshed too — a stale AABB would make the packet kernel's pre-DMA
+    prune unsound after vertex updates."""
     if kd.block_orig is None:
         return kd
-    rows, g = jax.vmap(_blocks_for)(
+    rows, g, aabb = jax.vmap(_blocks_for)(
         jax.lax.stop_gradient(verts_stacked), kd.block_orig)
-    return kd.replace(block_tris=rows, block_g=g)
+    return kd.replace(block_tris=rows, block_g=g, block_aabb=aabb)
 
 
 def build_leaf_sharded_triangles(tv: np.ndarray, tn: np.ndarray, tm: np.ndarray,
@@ -144,7 +153,7 @@ def build_leaf_sharded_triangles(tv: np.ndarray, tn: np.ndarray, tm: np.ndarray,
     # pre-packed leaf blocks per shard (block-loop kernel + contiguous
     # row-gather fast paths), vmapped over the shard axis
     block_orig = jnp.asarray(perm).reshape(ndev, -1, block)
-    block_tris, block_g = jax.vmap(_blocks_for)(
+    block_tris, block_g, block_aabb = jax.vmap(_blocks_for)(
         jax.lax.stop_gradient(verts), block_orig)
 
     kd = KDArrays(
@@ -154,6 +163,7 @@ def build_leaf_sharded_triangles(tv: np.ndarray, tn: np.ndarray, tm: np.ndarray,
         bounds_min=jnp.asarray(bmin), bounds_max=jnp.asarray(bmax),
         tri_perm=jnp.asarray(perm),
         block_orig=block_orig, block_tris=block_tris, block_g=block_g,
+        block_aabb=block_aabb,
         lane_size=int(cfg.lane_size), num_lanes=int(max_prims),
         max_leaf_lanes=int(max_leaf),
         block_lanes=int(cfg.leaf_chunk_lanes),

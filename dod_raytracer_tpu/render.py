@@ -100,6 +100,14 @@ def render_rays(scene, o, d, pixel_dirs, cfg: Config) -> jnp.ndarray:
             if not getattr(cfg, "sort_dir_major", True):
                 # origin-major variant: morton high bits, dirbin low
                 key = (key & ((1 << 21) - 1)) * (1 << 9) + (key >> 21)
+            if getattr(cfg, "sort_kill_tail", False):
+                # killed rays sort to the tail (both key variants are
+                # < 2^30); trailing all-dead packets then skip via the
+                # kernel's root-mask early-out (run0 == 0).  Exact: dead
+                # rays are pure pass-through rows.  Trade-off: live rays
+                # compact into fewer but spatially WIDER packets, which
+                # can grow per-packet visit unions — measured per-scene.
+                key = jnp.where(active, key, jnp.int32(1) << 30)
             _, perm = jax.lax.sort_key_val(
                 key,
                 jax.lax.broadcasted_iota(jnp.int32, (o.shape[0],), 0))
@@ -167,7 +175,12 @@ def render_rays(scene, o, d, pixel_dirs, cfg: Config) -> jnp.ndarray:
     # the scan carry has consistent varying-manual-axes under shard_map
     ks = jnp.arange(cfg.recursion_depth)
     if sort_bounces:
-        slot_pix0 = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+        # derive from a ray array (+ zeros) so the carry slot is VARYING
+        # under shard_map like every other carry element — a bare iota is
+        # unvarying while the bounce-permuted slot_pix after round 1 is
+        # varying, which violates scan's carry vma-consistency
+        slot_pix0 = (jnp.zeros_like(o[:, 0], dtype=jnp.int32)
+                     + jax.lax.broadcasted_iota(jnp.int32, (n,), 0))
         init = (o, d, pdirs0, jnp.zeros_like(o),
                 jnp.ones_like(o[:, 0], dtype=bool), slot_pix0)
         (_, _, _, final, _, slot_pix), _ = jax.lax.scan(bounce, init, ks)
@@ -206,6 +219,13 @@ def _render_tile_at_jit(scene, o, d, d_raw, start, cfg, tile) -> jnp.ndarray:
 # The axon runtime stalls when too many executions sit unblocked in the
 # dispatch queue (127 in flight hangs; <=8 measured safe).
 _MAX_IN_FLIGHT = 8
+
+
+@jax.jit
+def _tile_probe(x):
+    # scalar that depends on every element of a tile's output; fetched
+    # (not block_until_ready'd) to genuinely bound in-flight executions
+    return jnp.sum(x)
 
 
 def _auto_ray_tile(n: int) -> int:
@@ -283,14 +303,25 @@ def _tile_starts(num_tiles: int, tile: int):
 
 def render_frame_tiles(scene, o, d, d_raw, starts, cfg, tile):
     """Dispatch every tile of a frame, capped in-flight; returns the list
-    of per-tile color arrays (device)."""
+    of per-tile color arrays (device).
+
+    The cap is enforced by a device->host FETCH of a per-tile checksum,
+    not ``block_until_ready``: on the relay runtime block_until_ready
+    returns before device compute finishes (BASELINE.md measurement rule
+    1), so a wait on it bounds nothing.  Every _MAX_IN_FLIGHT dispatches
+    we fetch the checksum of a tile 3 back from the head; execution is
+    in-order, so when that fetch returns every earlier tile has
+    retired — outstanding executions stay <= _MAX_IN_FLIGHT + 3 while
+    the 3 queued tiles behind the probe keep the device busy through the
+    next dispatch burst (no pipeline bubble)."""
+    from .utils.fetch import guarded_scalar_get
+
     outs = []
-    for s in starts:
+    for i, s in enumerate(starts):
         outs.append(_render_tile_at_jit(scene, o, d, d_raw, s, cfg, tile))
-        if len(outs) > _MAX_IN_FLIGHT:
-            # wait for the tile _MAX_IN_FLIGHT back: keeps a full pipeline
-            # window while bounding outstanding executions
-            outs[-_MAX_IN_FLIGHT - 1].block_until_ready()
+        if (i + 1) % _MAX_IN_FLIGHT == 0 and i >= 3:
+            guarded_scalar_get(_tile_probe(outs[i - 3]),
+                               what=f"tile {i - 3} throttle probe")
     jax.block_until_ready(outs)
     return outs
 

@@ -58,15 +58,19 @@ def guarded_scalar_get(x, timeout_s: float = 600.0, what: str = "scalar"):
     """Fetch a device scalar through the stall-resistant path.
 
     The relay runtime stalls on tiny transfers while ~100 KB+ fetches
-    complete, so the scalar is cast to f32 (a bool/int scalar broadcast
-    alone would stay under the ~100 KB stall threshold) and broadcast on
-    device to a (65536,) array (256 KB); one element of the host copy is
-    returned, cast back to the input dtype.
+    complete, so the scalar is broadcast on device to a >=256 KB array
+    and one element of the host copy is returned.  Sub-4-byte dtypes
+    (bool, i8/16, f16/bf16) are widened to f32 first so the broadcast
+    clears the ~100 KB stall threshold; >=4-byte dtypes keep their own
+    dtype end-to-end — an i32/i64 counter above 2^24 would be silently
+    truncated by an f32 round-trip.
     """
     import jax
     import jax.numpy as jnp
 
+    dt = jnp.asarray(x).dtype
+    carrier = dt if dt.itemsize >= 4 else jnp.float32
     arr = jax.jit(lambda s: jnp.broadcast_to(
-        jnp.asarray(s).astype(jnp.float32), (65536,)))(x)
+        jnp.asarray(s).astype(carrier), (65536,)))(x)
     host = guarded_device_get(arr, timeout_s=timeout_s, what=what)
     return x.dtype.type(host[0]) if hasattr(x, "dtype") else host[0]

@@ -1,0 +1,197 @@
+"""Round-5 measurements (fetch-synchronized, real device).
+
+Round 5 is the performance round: the measured competitor (REFBENCH.json,
+2-core AVX2 host) renders dragon@1080p in 89.2 s / teapot@512 in 3.12 s,
+and round 4 ended at 122.2 s / 5.54 s.  The levers under test here:
+
+  * fold_groups — group-gated fold epilogue (the 9x-the-matmul VPU cost
+    now runs per 16-row group, gated on candidate rays)
+  * kill-to-tail bounce-sort keys (dead rays stop diluting live packets)
+  * lean argmin (min-orig tie break, no cols pass)
+
+Sections (run: python scripts/tpu_r5.py [section ...]):
+  exact     : packet vs binned exactness on a dragon center tile
+  foldsweep : fold_groups in {1, 4, 8, 16} on closest-hit + 10-bounce tile
+  depths    : per-bounce marginal cost with the new kernel
+  teapot    : teapot@512 closest-hit + 10-bounce, packet vs mega
+  frame     : honest full-frame dragon@1080p (min-of-3)
+  frame512  : honest full-frame teapot@512
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_r4 import (_checksum, center_tiles, fetch, flagship_scene,
+                    truth_time)
+
+
+def section_exact():
+    from dod_raytracer_tpu.ops.traverse import kd_any, kd_closest
+
+    scene, fzp = flagship_scene(traversal_backend="packet",
+                                MaxPrims=64, leaf_chunk_lanes=64)
+    _, fzb = flagship_scene(traversal_backend="binned")
+    tiles, tile = center_tiles(fzp, k=1)
+    o, d, _ = tiles[0]
+    inf = jnp.full((tile,), jnp.inf)
+
+    tp, pp, hp = jax.jit(lambda s, o, d: kd_closest(s.kd, s.triangles, o, d, inf, fzp))(scene, o, d)
+    tb, pb, hb = jax.jit(lambda s, o, d: kd_closest(s.kd, s.triangles, o, d, inf, fzb))(scene, o, d)
+    ap = jax.jit(lambda s, o, d: kd_any(s.kd, s.triangles, o, d, jnp.full((tile,), 8.0), fzp))(scene, o, d)
+    ab = jax.jit(lambda s, o, d: kd_any(s.kd, s.triangles, o, d, jnp.full((tile,), 8.0), fzb))(scene, o, d)
+    hp_, hb_ = fetch(hp, "hp").astype(bool), fetch(hb, "hb").astype(bool)
+    both = hp_ & hb_
+    flips = int((fetch(pp, "pp")[both] != fetch(pb, "pb")[both]).sum())
+    dt = np.abs(fetch(tp, "tp")[both] - fetch(tb, "tb")[both])
+    print(f"exact: hits {hp_.sum()}/{tile} mask_match={(hp_ == hb_).all()} "
+          f"prim_flips={flips}/{int(both.sum())} max|dt|={dt.max():.2e} "
+          f"anyhit_match={(fetch(ap,'ap') == fetch(ab,'ab')).all()}",
+          flush=True)
+
+
+def section_foldsweep():
+    from dod_raytracer_tpu.intersect import closest_hit
+    from dod_raytracer_tpu.render import render_rays
+
+    for fg in (1, 4, 8, 16):
+        scene, fz = flagship_scene(traversal_backend="packet",
+                                   MaxPrims=64, leaf_chunk_lanes=64,
+                                   fold_groups=fg)
+        tiles, tile = center_tiles(fz, k=2)
+        inf = jnp.full((tile,), jnp.inf)
+
+        @jax.jit
+        def ch(scene, o, d):
+            return closest_hit(scene, o, d, fz, t_max=inf).t
+
+        @jax.jit
+        def full(scene, o, d, d_raw):
+            return render_rays(scene, o, d, d_raw, fz)
+
+        truth_time(ch, [(scene, o, d) for (o, d, _) in tiles],
+                   f"dragon ch        [fg={fg:2d}] 16k", k=4)
+        truth_time(full, [(scene, o, d, r) for (o, d, r) in tiles],
+                   f"dragon 10-bounce [fg={fg:2d}] 16k", k=1)
+
+
+def section_killsweep():
+    from dod_raytracer_tpu.render import render_rays
+
+    for kt in (False, True):
+        scene, fz = flagship_scene(
+            traversal_backend="packet", MaxPrims=64, leaf_chunk_lanes=64,
+            sort_kill_tail=kt)
+        tiles, tile = center_tiles(fz, k=2)
+
+        @jax.jit
+        def full(scene, o, d, d_raw):
+            return render_rays(scene, o, d, d_raw, fz)
+
+        truth_time(full, [(scene, o, d, r) for (o, d, r) in tiles],
+                   f"dragon 10-bounce [kill_tail={kt}] 16k", k=1)
+
+
+def section_depths():
+    from dod_raytracer_tpu.render import render_rays
+
+    for depth in (1, 3, 10):
+        scene, fz = flagship_scene(
+            traversal_backend="packet", MaxPrims=64, leaf_chunk_lanes=64,
+            recursion_depth=depth)
+        tiles, tile = center_tiles(fz, k=2)
+
+        @jax.jit
+        def full(scene, o, d, d_raw):
+            return render_rays(scene, o, d, d_raw, fz)
+
+        truth_time(full, [(scene, o, d, r) for (o, d, r) in tiles],
+                   f"dragon depth={depth:2d} [fg8] 16k",
+                   k=2 if depth < 5 else 1)
+
+
+def section_teapot():
+    from dod_raytracer_tpu.intersect import closest_hit
+    from dod_raytracer_tpu.render import render_rays
+
+    for be in ("packet", "mega"):
+        scene, fz = flagship_scene(mesh="teapot", Width=512, Height=512,
+                                   traversal_backend=be,
+                                   MaxPrims=64, leaf_chunk_lanes=64)
+        tiles, tile = center_tiles(fz)
+        inf = jnp.full((tile,), jnp.inf)
+
+        @jax.jit
+        def ch(scene, o, d):
+            return closest_hit(scene, o, d, fz, t_max=inf).t
+
+        @jax.jit
+        def full(scene, o, d, d_raw):
+            return render_rays(scene, o, d, d_raw, fz)
+
+        truth_time(ch, [(scene, o, d) for (o, d, _) in tiles],
+                   f"teapot ch        [{be}] 16k", k=4)
+        truth_time(full, [(scene, o, d, r) for (o, d, r) in tiles],
+                   f"teapot 10-bounce [{be}] 16k", k=1)
+
+
+def _frame(mesh, width, height, **over):
+    from dod_raytracer_tpu.render import (_padded_frame_rays, _tile_starts,
+                                          render_frame_tiles)
+
+    kw = dict(traversal_backend="packet", ray_tile=32768,
+              MaxPrims=64, leaf_chunk_lanes=64, Width=width, Height=height)
+    kw.update(over)
+    scene, fz = flagship_scene(mesh=mesh, **kw)
+    o, d, d_raw, n, rtile, num_tiles = _padded_frame_rays(fz)
+    starts = _tile_starts(num_tiles, rtile)
+
+    def frame():
+        return render_frame_tiles(scene, o, d, d_raw, starts, fz, rtile)
+
+    t0 = time.perf_counter()
+    fetch(_checksum(frame()), "frame warm")
+    print(f"frame warm(compile+1) {time.perf_counter()-t0:.1f}s", flush=True)
+    ts = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        fetch(_checksum(frame()), f"frame {i}")
+        ts.append(time.perf_counter() - t0)
+        print(f"frame {i}: {ts[-1]:.1f}s", flush=True)
+    per = min(ts)
+    print(f"FULL FRAME {mesh}@{width}x{height}: {per:.2f}s (runs "
+          f"{[round(t,1) for t in ts]}) -> {n/per/1e3:.1f} k rays/s",
+          flush=True)
+
+
+def section_frame():
+    _frame("dragon", 1920, 1080)
+
+
+def section_frame512():
+    _frame("teapot", 512, 512)
+
+
+def main():
+    sections = sys.argv[1:] or ["exact", "foldsweep"]
+    for s in sections:
+        print(f"--- {s} ---", flush=True)
+        try:
+            globals()[f"section_{s}"]()
+        except Exception as e:
+            print(f"section {s} FAILED: {type(e).__name__}: {e}", flush=True)
+    os._exit(0)
+
+
+if __name__ == "__main__":
+    main()
