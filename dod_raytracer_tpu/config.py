@@ -49,14 +49,14 @@ class Config:
     treelet_cap: int = 0  # forest treelet node cap (0 = kernel MAX_NODES); 128-multiple
     forest_tile: int = 0  # forest kernel rays/tile (0 = kernel TILE default)
     packet_tile: int = 0  # packet kernel rays/tile (0 = kernel TILE default, 128-mult)
-    # packet fold-epilogue gating granularity: the per-chunk VPU epilogue
-    # runs per group of 128/fold_groups matmul rows, each gated on having
-    # candidate rays (exact skip).  Measured on v5e (scripts/tpu_r5.py
-    # foldsweep): gating LOSES — within a visited chunk candidates are
-    # dense, so the per-group lax.cond branches add pure overhead
-    # (10-bounce tile: fg=1 1.39s, fg=4 1.46s, fg=8 1.60s, fg=16 1.85s).
-    # Default ungated; the knob stays for re-measurement on new shapes.
-    fold_groups: int = 1  # in {1, 2, 4, 8, 16}
+    # packet fold-epilogue gating granularity: the per-chunk matmul +
+    # VPU epilogue runs per group of 128/fold_groups rays, gated by
+    # bit-packed candidate words computed once at DMA-enqueue time
+    # (exact skip: skipped sub-chunks merge as no-improvement).  Measured
+    # on v5e (scripts/tpu_r5.py foldsweep, dragon 16k 10-bounce tile):
+    # fg=1 1032 ms, fg=4 736 ms, fg=8 702 ms, fg=16 761 ms — late-bounce
+    # packets fold 1-2 sparse sub-chunks instead of a full 128-wide fold.
+    fold_groups: int = 8  # in {1, 2, 4, 8, 16}
     # move terminated rays to the tail of every bounce re-sort (exact:
     # dead rays are pass-through rows).  Compacts live rays into fewer,
     # denser packets at the cost of spatially wider per-packet unions;
