@@ -182,6 +182,111 @@ def section_frame512():
     _frame("teapot", 512, 512)
 
 
+def section_knobs512():
+    """Teapot@512 frame under knob variants: at teapot scale the kd walk
+    is cheap (1.9 ms/16k closest), so per-bounce FIXED costs — the two
+    wavefront sorts and the (9*N,) shadow sort — may dominate the frame.
+    Each variant is a full honest frame (min-of-3)."""
+    variants = [
+        ("baseline", {}),
+        ("no_shadow_sort", dict(sort_shadow=False)),
+        ("no_bounce_sort", dict(sort_bounces=False)),
+        ("no_sorts", dict(sort_shadow=False, sort_bounces=False)),
+        ("pt2048", dict(packet_tile=2048)),
+        ("rt65536", dict(ray_tile=65536)),
+    ]
+    for name, over in variants:
+        print(f"--- knobs512 {name} ---", flush=True)
+        _frame("teapot", 512, 512, **over)
+
+
+def section_split():
+    """Attribute the 10-bounce dragon tile (702 ms) across its remaining
+    cost centers: the (L*N,) shadow sort per bounce, the shadow walks
+    themselves (1 light vs 9), and the raw XLA sort primitive at shadow
+    shape.  Shadow rays inherit hit-point clustering from the BOUNCE sort
+    (their origins are the sorted hit points), so the dedicated shadow
+    sort may be paying more than its coherence wins."""
+    from dod_raytracer_tpu.render import render_rays
+
+    # raw sort cost at shadow shape (9*16384 rows) and bounce shape
+    for n in (16384, 9 * 16384):
+        keys = jnp.arange(n, dtype=jnp.int32)[::-1]
+
+        @jax.jit
+        def srt(k):
+            return jax.lax.sort_key_val(
+                k, jax.lax.broadcasted_iota(jnp.int32, k.shape, 0))[1]
+
+        truth_time(srt, [(keys,)], f"sort_key_val n={n}", k=8)
+
+    for name, over in (("baseline", {}),
+                       ("no_shadow_sort", dict(sort_shadow=False)),
+                       ("no_reverse", dict(shadow_reverse=False)),
+                       ("seq_shadow", dict(shadow_batch_lights=False))):
+        scene, fz = flagship_scene(traversal_backend="packet", MaxPrims=64,
+                                   leaf_chunk_lanes=64, **over)
+        tiles, tile = center_tiles(fz, k=2)
+
+        @jax.jit
+        def full(scene, o, d, d_raw):
+            return render_rays(scene, o, d, d_raw, fz)
+
+        truth_time(full, [(scene, o, d, r) for (o, d, r) in tiles],
+                   f"dragon 10-bounce [{name}] 16k", k=1)
+
+    # 1 light vs 9: marginal shadow-walk cost
+    scene, fz = flagship_scene(traversal_backend="packet", MaxPrims=64,
+                               leaf_chunk_lanes=64)
+    l1 = scene.replace(lights=jax.tree_util.tree_map(
+        lambda v: v[:1], scene.lights))
+    tiles, tile = center_tiles(fz, k=2)
+
+    @jax.jit
+    def full(scene, o, d, d_raw):
+        return render_rays(scene, o, d, d_raw, fz)
+
+    truth_time(full, [(l1, o, d, r) for (o, d, r) in tiles],
+               "dragon 10-bounce [1 light] 16k", k=1)
+
+
+def section_gradtile():
+    """Per-tile fwd+bwd (vertex grads) cost at 16384 vs 32768 rays,
+    with/without remat_bounces — VERDICT r4 item 5: the grad FRAME pays
+    tile-size (16384 pinned for liveness), not autodiff; if 32768(+remat)
+    fits, the grad frame drops to ~forward+overhead."""
+    import functools
+
+    from dod_raytracer_tpu.render import render_rays
+
+    for rt, remat in ((16384, False), (32768, False), (32768, True)):
+        scene, fz = flagship_scene(
+            traversal_backend="packet", MaxPrims=64, leaf_chunk_lanes=64,
+            ray_tile=rt, remat_bounces=remat)
+        tiles, tile = center_tiles(fz, k=2)
+
+        @functools.partial(jax.jit, donate_argnames=("g_acc",))
+        def tile_grad(scene, o, d, d_raw, g_acc):
+            def f(v):
+                s = scene.replace(triangles=scene.triangles.replace(verts=v))
+                return jnp.sum(render_rays(s, o, d, d_raw, fz) ** 2)
+
+            val, g = jax.value_and_grad(f)(scene.triangles.verts)
+            return g_acc + g, val
+
+        def call(scene, o, d, r):
+            g0 = jnp.zeros_like(scene.triangles.verts)
+            g, v = tile_grad(scene, o, d, r, g0)
+            return v  # checksum on the loss only: grads ride the same program
+
+        try:
+            truth_time(call, [(scene, o, d, r) for (o, d, r) in tiles],
+                       f"grad tile rt={rt} remat={int(remat)}", k=1)
+        except Exception as e:
+            print(f"grad rt={rt} remat={remat} FAILED: {type(e).__name__}: {e}",
+                  flush=True)
+
+
 def main():
     sections = sys.argv[1:] or ["exact", "foldsweep"]
     for s in sections:

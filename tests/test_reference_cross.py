@@ -8,6 +8,16 @@ mesh pipeline produces, a fixed seed, and a scene-parameter dump (so both
 renderers consume identical scenes).  See that script's docstring for the
 documented FetchContent failure.
 
+Three scenes (VERDICT r4 item 8: parity on more than one 320x180 frame):
+
+  * teapot @320x180 — the original round-2 check;
+  * teapot @512x512 — same scene at >=512^2;
+  * nomesh @512x288 — spheres+walls+cylinder only: the mesh slot is fed a
+    single distant triangle (outside the wall box, so never visible but
+    exercising the same kd path on both sides), which isolates the
+    sphere/plane/cylinder family parity from triangle silhouette noise
+    and pins the non-mesh silhouette-flip rate separately.
+
 Tolerances: the reference reduces hits in AVX lane order with strict-min
 chaining while we reduce in XLA order, so borderline silhouette pixels
 can flip hit/miss and a 10-bounce reflection chain amplifies a single
@@ -26,33 +36,58 @@ import numpy as np
 import pytest
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
-W, H = 320, 180
+
+# A triangle far outside the +-5 wall box: rays start inside, every walk
+# clips at a wall (t <= ~10) long before t ~ +50, so it can never be hit
+# or shade anything — but both binaries still build/traverse a kd tree
+# over it, keeping the code paths identical to the mesh scenes.
+_FAR_TRI_V = np.array([[[50.0, -1.0, -1.0], [50.0, 1.0, -1.0],
+                        [50.0, 0.0, 1.0]]], np.float32)
+_FAR_TRI_N = np.broadcast_to(
+    np.array([1.0, 0.0, 0.0], np.float32), (1, 3, 3)).copy()
+
+# name -> (width, height, use_teapot, (mean_abs, within2, outlier) bounds)
+# measured 2026-08-21 (this suite, CPU backend):
+#   teapot-320x180 : mean 0.2425  within2 0.9824  outliers 0.00597
+#   teapot-512x512 : mean 0.0067  within2 0.9994  outliers 0.00012
+#   nomesh-512x288 : mean 0.1593  within2 0.9832  outliers 0.00451
+# (512x512 is near-bit-exact: its 1:1 aspect ratio yields far fewer
+# grazing silhouette pixels than the 16:9 frames.)
+CASES = {
+    "teapot-320x180": (320, 180, True, (0.75, 0.96, 0.015)),
+    "teapot-512x512": (512, 512, True, (0.10, 0.995, 0.002)),
+    "nomesh-512x288": (512, 288, False, (0.50, 0.97, 0.010)),
+}
 
 
-@pytest.fixture(scope="module")
-def reference_run(tmp_path_factory):
+@pytest.fixture(scope="module", params=sorted(CASES), ids=sorted(CASES))
+def reference_run(request, tmp_path_factory):
+    w, h, teapot, _ = CASES[request.param]
     if shutil.which("g++") is None:
         pytest.skip("no g++ toolchain")
     if not pathlib.Path("/root/reference/src").exists():
         pytest.skip("reference sources not mounted")
-    wd = tmp_path_factory.mktemp("refx")
+    wd = tmp_path_factory.mktemp(f"refx_{request.param}")
     build = subprocess.run(
         [sys.executable, str(REPO / "scripts" / "build_reference.py"),
-         str(wd), "--width", str(W), "--height", str(H)],
-        capture_output=True, text=True, timeout=300)
+         str(wd), "--width", str(w), "--height", str(h)],
+        capture_output=True, text=True, timeout=600)
     if build.returncode != 0:
         pytest.skip(f"reference shim build failed: {build.stderr[-500:]}")
 
-    from dod_raytracer_tpu.mesh import load_mesh_asset
+    if teapot:
+        from dod_raytracer_tpu.mesh import load_mesh_asset
 
-    tv, tn = load_mesh_asset("teapot")
+        tv, tn = load_mesh_asset("teapot")
+    else:
+        tv, tn = _FAR_TRI_V, _FAR_TRI_N
     rows = np.concatenate([tv.reshape(-1, 9), tn.reshape(-1, 9)], axis=1)
     np.savetxt(wd / "mesh.tris", rows, fmt="%.9g")
     run = subprocess.run([str(wd / "dod_ref")], cwd=wd,
-                         capture_output=True, text=True, timeout=300)
+                         capture_output=True, text=True, timeout=600)
     assert run.returncode == 0, run.stderr
     assert (wd / "output.png").exists() and (wd / "scene_dump.csv").exists()
-    return wd
+    return request.param, wd
 
 
 def test_pixels_match_reference_binary(reference_run):
@@ -62,8 +97,11 @@ def test_pixels_match_reference_binary(reference_run):
     from dod_raytracer_tpu.mesh import load_mesh_asset
     from dod_raytracer_tpu.scene import SceneBuilder, reference_lights
 
+    name, wd = reference_run
+    w, h, teapot, (b_mean, b_within2, b_outlier) = CASES[name]
+
     spheres, cyl_color = [], None
-    for line in (reference_run / "scene_dump.csv").read_text().splitlines():
+    for line in (wd / "scene_dump.csv").read_text().splitlines():
         p = line.split(",")
         if p[0] == "sphere":
             spheres.append([float(x) for x in p[1:]])
@@ -71,7 +109,7 @@ def test_pixels_match_reference_binary(reference_run):
             cyl_color = [float(x) for x in p[1:]]
     assert len(spheres) == 16 and cyl_color is not None
 
-    cfg = Config(Width=W, Height=H, use_kdtree=True, ray_tile=16384,
+    cfg = Config(Width=w, Height=h, use_kdtree=True, ray_tile=16384,
                  replicate_reference_bugs=True)
     b = SceneBuilder()
     for x, y, z, r, cr, cg, cb in spheres:
@@ -88,21 +126,25 @@ def test_pixels_match_reference_binary(reference_run):
         b.add_plane(p_, n_, c_)
     b.add_cylinder(base=(-2.0, 0.0, 2.0), axis=(2.2, 5.0, 2.0), radius=1.5,
                    height=4.0, color=cyl_color)
-    tv, tn = load_mesh_asset("teapot")
+    if teapot:
+        tv, tn = load_mesh_asset("teapot")
+    else:
+        tv, tn = _FAR_TRI_V, _FAR_TRI_N
     b.add_mesh(tv, tn)
     for pos, inten in reference_lights():
         b.add_light(pos, inten)
     scene = b.build(cfg)
 
     ours = quantize_u8(render_image(scene, cfg)).astype(np.int64)
-    ref = np.asarray(Image.open(reference_run / "output.png")).astype(np.int64)
+    ref = np.asarray(Image.open(wd / "output.png")).astype(np.int64)
     assert ref.shape == ours.shape
 
     per_px = np.abs(ref - ours).max(axis=2)
     mean_abs = np.abs(ref - ours).mean()
     within2 = (per_px <= 2).mean()
     outliers = (per_px > 8).mean()
-    # measured 2026-08-19: mean 0.24, within-2 98.2%, outliers 0.60%
-    assert mean_abs < 0.75, mean_abs
-    assert within2 > 0.96, within2
-    assert outliers < 0.015, outliers
+    print(f"[{name}] mean_abs={mean_abs:.4f} within2={within2:.4f} "
+          f"outliers(>8)={outliers:.5f}")
+    assert mean_abs < b_mean, (name, mean_abs)
+    assert within2 > b_within2, (name, within2)
+    assert outliers < b_outlier, (name, outliers)
