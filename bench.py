@@ -64,19 +64,20 @@ def build_flagship(small: bool, grad: bool = False):
 
     # ray_tile=0 -> _auto_ray_tile: the bench exercises the production
     # auto path so the tuned value cannot silently drift from what users
-    # get (ADVICE r3).  The grad pass doubles per-tile liveness (fwd
-    # residuals + bwd), so it pins the smaller 16384.
-    # MaxPrims/leaf_chunk_lanes=64: packet-kernel-tuned tree shape —
-    # honest truth-protocol sweep scripts/tpu_r4.py section_sweep
-    # (mp=64 pt=1024: 3.4 ms/16k closest vs 4.8 @mp128, 35 ms binned).
-    rt = 16384 if grad else 0
+    # get (ADVICE r3).  The grad pass runs the same 32768 tiles with
+    # remat_bounces: per-bounce recompute (traversal outputs saved via
+    # checkpoint_name) keeps liveness at forward levels — measured
+    # 673 ms/16k-ray-equivalent fwd+bwd vs 759 ms at pinned-16384
+    # no-remat tiles (scripts/tpu_r5.py gradtile; VERDICT r4 item 5).
+    rt = 0
+    remat = dict(remat_bounces=True) if grad else {}
     if small:
         cfg = Config(Width=512, Height=512, use_kdtree=True, ray_tile=rt,
-                     MaxPrims=64, leaf_chunk_lanes=64)
+                     MaxPrims=64, leaf_chunk_lanes=64, **remat)
         mesh = "teapot"
     else:
         cfg = Config(Width=1920, Height=1080, use_kdtree=True, ray_tile=rt,
-                     MaxPrims=64, leaf_chunk_lanes=64)
+                     MaxPrims=64, leaf_chunk_lanes=64, **remat)
         mesh = "dragon"
     frozen = _FrozenConfig.from_config(cfg)
     scene = default_scene(seed=0, cfg=cfg, mesh=mesh).build(cfg)

@@ -84,8 +84,14 @@ class Config:
     # (bytes dominate; the L*N working set measured ~4x slower).
     shadow_batch_lights: Optional[bool] = None
     # sort the batched shadow wavefront per light by hit-point morton so
-    # each light's rays form packet-friendly beams (exact permutation)
-    sort_shadow: bool = True
+    # each light's rays form packet-friendly beams (exact permutation).
+    # None = auto: sort only over BIG trees (>= 1024 leaf blocks).  The
+    # (L*N,) key sort is a fixed per-bounce cost that pays for itself
+    # only when shadow walks are expensive: measured on v5e
+    # (scripts/tpu_r5.py split/knobs512), dragon 10-bounce tile 684 ms
+    # sorted vs 1069 ms unsorted (keep), teapot@512 frame 3.66 s sorted
+    # vs 3.37 s unsorted (drop — teapot has 38 blocks, walks are cheap).
+    sort_shadow: Optional[bool] = None
     # trace shadow-ray TRIANGLE occlusion FROM the light toward the
     # surface: per-light shared-origin packets walk the tree like a
     # single ray (measured 1.6x on the 10-bounce flagship tile with

@@ -111,7 +111,15 @@ def light_visibility(scene, points, cfg, active=None, relevant=None) -> jnp.ndar
             o_f2 = o_r.reshape(L * n, 3)
             d_f2 = d_r.reshape(L * n, 3)
             t_f2 = jnp.where(blocked_fam, -1.0, t_f)
-        if getattr(cfg, "sort_shadow", True):
+        sort_shadow = getattr(cfg, "sort_shadow", None)
+        if sort_shadow is None:
+            # auto: the (L*N,) key sort is a fixed per-bounce cost; it
+            # pays only when the per-ray shadow walks it makes coherent
+            # are expensive — i.e. over big trees (config.py sort_shadow)
+            kd = scene.kd
+            sort_shadow = kd is not None and kd.block_g is not None \
+                and kd.block_g.shape[0] >= 1024
+        if sort_shadow:
             # group each light's rays by hit-point locality: shadow rays
             # from clustered origins to one point light form a tight beam
             # (packet-traversal-friendly).  Exact permutation; killed

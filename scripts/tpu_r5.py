@@ -250,6 +250,24 @@ def section_split():
                "dragon 10-bounce [1 light] 16k", k=1)
 
 
+def section_knobs512b():
+    """Teapot tree-shape sweep (tiny tree: fold cost per visit scales
+    with block Spad, so smaller blocks may win where the dragon prefers
+    mp=64), plus teapot@1080p — REFBENCH's reference CPU renders that in
+    22.5 s."""
+    for name, over in (
+            ("mp32", dict(MaxPrims=32, leaf_chunk_lanes=32)),
+            ("mp16", dict(MaxPrims=16, leaf_chunk_lanes=16)),
+            ("mp128", dict(MaxPrims=128, leaf_chunk_lanes=128)),
+    ):
+        print(f"--- knobs512b {name} ---", flush=True)
+        _frame("teapot", 512, 512, **over)
+
+
+def section_frame1080t():
+    _frame("teapot", 1920, 1080)
+
+
 def section_gradtile():
     """Per-tile fwd+bwd (vertex grads) cost at 16384 vs 32768 rays,
     with/without remat_bounces — VERDICT r4 item 5: the grad FRAME pays
