@@ -71,9 +71,14 @@ def build_flagship(small: bool, grad: bool = False):
     # no-remat tiles (scripts/tpu_r5.py gradtile; VERDICT r4 item 5).
     rt = 0
     remat = dict(remat_bounces=True) if grad else {}
+    # Tree shape is scene-tuned (BASELINE round-5 knob table): teapot
+    # sweeps mp16 3.59 / mp32 3.24 / mp48 2.85 / mp64 3.37 / mp128
+    # 4.77 s @512; dragon mp48 == mp64 within noise, mp64 keeps the r4
+    # pin.  Exactness (packet vs binned, 0 prim flips) verified per
+    # shape (scripts/tpu_r5.py exact/exact48).
     if small:
         cfg = Config(Width=512, Height=512, use_kdtree=True, ray_tile=rt,
-                     MaxPrims=64, leaf_chunk_lanes=64, **remat)
+                     MaxPrims=48, leaf_chunk_lanes=48, **remat)
         mesh = "teapot"
     else:
         cfg = Config(Width=1920, Height=1080, use_kdtree=True, ray_tile=rt,

@@ -36,11 +36,11 @@ from tpu_r4 import (_checksum, center_tiles, fetch, flagship_scene,
                     truth_time)
 
 
-def section_exact():
+def section_exact(mp=64):
     from dod_raytracer_tpu.ops.traverse import kd_any, kd_closest
 
     scene, fzp = flagship_scene(traversal_backend="packet",
-                                MaxPrims=64, leaf_chunk_lanes=64)
+                                MaxPrims=mp, leaf_chunk_lanes=mp)
     _, fzb = flagship_scene(traversal_backend="binned")
     tiles, tile = center_tiles(fzp, k=1)
     o, d, _ = tiles[0]
@@ -58,6 +58,10 @@ def section_exact():
           f"prim_flips={flips}/{int(both.sum())} max|dt|={dt.max():.2e} "
           f"anyhit_match={(fetch(ap,'ap') == fetch(ab,'ab')).all()}",
           flush=True)
+
+
+def section_exact48():
+    section_exact(mp=48)
 
 
 def section_foldsweep():
@@ -266,6 +270,56 @@ def section_knobs512b():
 
 def section_frame1080t():
     _frame("teapot", 1920, 1080)
+
+
+def section_knobs512c():
+    for name, over in (
+            ("mp32_fg16", dict(MaxPrims=32, leaf_chunk_lanes=32,
+                               fold_groups=16)),
+            ("mp32_fg4", dict(MaxPrims=32, leaf_chunk_lanes=32,
+                              fold_groups=4)),
+            ("mp48", dict(MaxPrims=48, leaf_chunk_lanes=48)),
+    ):
+        print(f"--- knobs512c {name} ---", flush=True)
+        _frame("teapot", 512, 512, **over)
+
+
+def section_frame1080t32():
+    _frame("teapot", 1920, 1080, MaxPrims=32, leaf_chunk_lanes=32)
+
+
+def section_frame1080t48():
+    _frame("teapot", 1920, 1080, MaxPrims=48, leaf_chunk_lanes=48)
+
+
+def section_dragon48():
+    """mp48 surprised on teapot (2.85 s vs 3.24 @mp32 / 3.37 @mp64);
+    check the dragon tile at the same shape before trying a frame."""
+    from dod_raytracer_tpu.intersect import closest_hit
+    from dod_raytracer_tpu.render import render_rays
+
+    for mp in (48, 64):
+        scene, fz = flagship_scene(traversal_backend="packet",
+                                   MaxPrims=mp, leaf_chunk_lanes=mp)
+        tiles, tile = center_tiles(fz, k=2)
+        inf = jnp.full((tile,), jnp.inf)
+
+        @jax.jit
+        def ch(scene, o, d):
+            return closest_hit(scene, o, d, fz, t_max=inf).t
+
+        @jax.jit
+        def full(scene, o, d, d_raw):
+            return render_rays(scene, o, d, d_raw, fz)
+
+        truth_time(ch, [(scene, o, d) for (o, d, _) in tiles],
+                   f"dragon ch        [mp{mp}] 16k", k=4)
+        truth_time(full, [(scene, o, d, r) for (o, d, r) in tiles],
+                   f"dragon 10-bounce [mp{mp}] 16k", k=1)
+
+
+def section_framed48():
+    _frame("dragon", 1920, 1080, MaxPrims=48, leaf_chunk_lanes=48)
 
 
 def section_gradtile():
