@@ -58,7 +58,9 @@ from jax.experimental.pallas import tpu as pltpu
 _INF = float("inf")
 
 TILE = 1024  # rays per packet: per-ray state is (TILE//128, 128) = full vregs
-_MBOX = 8  # recently-processed-block mailbox ring (straddler dedup)
+_MBOX = 8  # recently-processed-block mailbox ring (straddler dedup).
+# Measured on the d10 flagship tile: 16 entries is a wash (719 vs
+# 702-714 ms) — the 8-ring already catches the adjacent-leaf dups.
 _FIFO = 2  # pending-block DMA pipeline depth (slots).  Measured on the
 # 10-bounce flagship tile: depth 4 is ~4% SLOWER than 2 (block DMA is
 # already hidden behind one fold interval; deeper rings only add scalar
