@@ -57,6 +57,10 @@ class Config:
     # fg=1 1032 ms, fg=4 736 ms, fg=8 702 ms, fg=16 761 ms — late-bounce
     # packets fold 1-2 sparse sub-chunks instead of a full 128-wide fold.
     fold_groups: int = 8  # in {1, 2, 4, 8, 16}
+    # packet pending-block DMA pipeline depth (0 = kernel default 2);
+    # re-sweepable because the gated folds changed the compute/DMA
+    # balance the original depth-2 pin was measured under
+    dma_fifo: int = 0
     # move terminated rays to the tail of every bounce re-sort (exact:
     # dead rays are pass-through rows).  Compacts live rays into fewer,
     # denser packets at the cost of spatially wider per-packet unions;

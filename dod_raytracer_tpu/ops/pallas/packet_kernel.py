@@ -74,7 +74,7 @@ def _kernel(flag_s, split_s, right_s, blk0_s, nblk_s, aabb_s,
             tn_ref, tx_ref, done_ref, nstack_s, tn_stk, tx_stk,
             mbox_s, pfifo_s, pwords_s, g_vmem, orig_vmem, sem_g, sem_o,
             *, spad: int, stack_depth: int, any_hit: bool, r8: int,
-            fold_groups: int):
+            fold_groups: int, fifo: int = _FIFO):
     r16 = rays_ref[:]                   # (TR, 16) Plücker rows
     clip0 = clip_ref[:]                 # per-ray t_max (R8, 128)
     act0 = act_ref[:] != 0
@@ -265,7 +265,7 @@ def _kernel(flag_s, split_s, right_s, blk0_s, nblk_s, aabb_s,
         """Queue this leaf's surviving blocks through the pending-FIFO
         pipeline: start each block's DMA into a free slot; when the ring
         is full, process the OLDEST block (whose transfer has had up to
-        _FIFO-1 process intervals to land)."""
+        fifo-1 process intervals to land)."""
         blk0 = blk0_s[node]
         nb = nblk_s[node]
 
@@ -290,14 +290,14 @@ def _kernel(flag_s, split_s, right_s, blk0_s, nblk_s, aabb_s,
                 def enqueue(args2):
                     count, head = args2
 
-                    @pl.when(count == _FIFO)
+                    @pl.when(count == fifo)
                     def _():
                         process(pfifo_s[head], head)
 
-                    count2 = jnp.where(count == _FIFO, _FIFO - 1, count)
-                    head2 = jnp.where(count == _FIFO,
-                                      jax.lax.rem(head + 1, _FIFO), head)
-                    slot = jax.lax.rem(head2 + count2, _FIFO)
+                    count2 = jnp.where(count == fifo, fifo - 1, count)
+                    head2 = jnp.where(count == fifo,
+                                      jax.lax.rem(head + 1, fifo), head)
+                    slot = jax.lax.rem(head2 + count2, fifo)
                     cg, co = dma_pair(blk, slot)
                     cg.start()
                     co.start()
@@ -481,26 +481,26 @@ def _kernel(flag_s, split_s, right_s, blk0_s, nblk_s, aabb_s,
         cond, body, (jnp.int32(0), jnp.int32(0), aa_init,
                      jnp.int32(0), jnp.int32(0)))
 
-    # drain the pipeline: up to _FIFO blocks may still be in flight
+    # drain the pipeline: up to fifo blocks may still be in flight
     def drain_cond(c):
         return c[0] > 0
 
     def drain_body(c):
         cnt, hd = c
         process(pfifo_s[hd], hd)
-        return cnt - 1, jax.lax.rem(hd + 1, _FIFO)
+        return cnt - 1, jax.lax.rem(hd + 1, fifo)
 
     jax.lax.while_loop(drain_cond, drain_body, (count, head))
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "stack_depth", "any_hit", "interpret", "tile", "fold_groups"))
+    "stack_depth", "any_hit", "interpret", "tile", "fold_groups", "fifo"))
 def packet_traverse(flag, split, right, blk0, nblk, aabb,
                     o3, d3, invd3, tmin, tmax, clip, act, rays,
                     block_g, block_orig_p,
                     stack_depth: int, any_hit: bool = False,
                     interpret: bool = False, tile: int = TILE,
-                    fold_groups: int = 8):
+                    fold_groups: int = 8, fifo: int = _FIFO):
     """Packet kd traversal for N rays (N % tile == 0).
 
     Args:
@@ -530,7 +530,8 @@ def packet_traverse(flag, split, right, blk0, nblk, aabb,
 
     return pl.pallas_call(
         functools.partial(_kernel, spad=spad, stack_depth=stack_depth,
-                          any_hit=any_hit, r8=r8, fold_groups=fold_groups),
+                          any_hit=any_hit, r8=r8, fold_groups=fold_groups,
+                          fifo=fifo),
         grid=grid,
         in_specs=[
             smem(), smem(), smem(), smem(), smem(), smem(),
@@ -560,13 +561,13 @@ def packet_traverse(flag, split, right, blk0, nblk, aabb,
             pltpu.VMEM((max(stack_depth, 2), r8, 128), jnp.float32),
             pltpu.VMEM((max(stack_depth, 2), r8, 128), jnp.float32),
             pltpu.SMEM((_MBOX + 1,), jnp.int32),      # mailbox ring + cursor
-            pltpu.SMEM((_FIFO,), jnp.int32),          # pending-block ids
-            pltpu.SMEM((_FIFO, -(-r8 * fold_groups // 32)),
+            pltpu.SMEM((fifo,), jnp.int32),           # pending-block ids
+            pltpu.SMEM((fifo, -(-r8 * fold_groups // 32)),
                        jnp.int32),                    # pending gate words
-            pltpu.VMEM((_FIFO, 16, SP5), jnp.float32),  # pipelined blocks
-            pltpu.VMEM((_FIFO, 1, spad), jnp.int32),
-            pltpu.SemaphoreType.DMA((_FIFO,)),
-            pltpu.SemaphoreType.DMA((_FIFO,)),
+            pltpu.VMEM((fifo, 16, SP5), jnp.float32),  # pipelined blocks
+            pltpu.VMEM((fifo, 1, spad), jnp.int32),
+            pltpu.SemaphoreType.DMA((fifo,)),
+            pltpu.SemaphoreType.DMA((fifo,)),
         ],
         interpret=interpret,
     )(flag, split, right, blk0, nblk, aabb, o3, d3, invd3, tmin, tmax, clip,

@@ -439,7 +439,8 @@ def _traverse_packet(kd, o, d, t_max, cfg, any_hit: bool):
         rays, kd.block_g, orig[:, None, :],
         stack_depth=_stack_depth(kd, cfg), any_hit=any_hit,
         interpret=not on_tpu(), tile=tile,
-        fold_groups=int(getattr(cfg, "fold_groups", 8) or 8))
+        fold_groups=int(getattr(cfg, "fold_groups", 8) or 8),
+        fifo=int(getattr(cfg, "dma_fifo", 0) or 2))
     flat = lambda v: v.reshape(n)[:n0]
     return flat(t_best), flat(prim), flat(found).astype(bool)
 

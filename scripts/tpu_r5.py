@@ -322,6 +322,62 @@ def section_framed48():
     _frame("dragon", 1920, 1080, MaxPrims=48, leaf_chunk_lanes=48)
 
 
+def section_dragonmp():
+    """Dragon tree-shape re-sweep at fg=8: the mp=64 pin predates the
+    gated folds — bigger blocks mean fewer per-block fixed costs (2 gate
+    syncs + mailbox + FIFO bookkeeping per block) amortized over more
+    candidates, at the price of wider per-block AABBs (less selective
+    gates)."""
+    from dod_raytracer_tpu.intersect import closest_hit
+    from dod_raytracer_tpu.render import render_rays
+
+    for mp in (96, 128):
+        scene, fz = flagship_scene(traversal_backend="packet",
+                                   MaxPrims=mp, leaf_chunk_lanes=mp)
+        tiles, tile = center_tiles(fz, k=2)
+        inf = jnp.full((tile,), jnp.inf)
+
+        @jax.jit
+        def ch(scene, o, d):
+            return closest_hit(scene, o, d, fz, t_max=inf).t
+
+        @jax.jit
+        def full(scene, o, d, d_raw):
+            return render_rays(scene, o, d, d_raw, fz)
+
+        truth_time(ch, [(scene, o, d) for (o, d, _) in tiles],
+                   f"dragon ch        [mp{mp} fg8] 16k", k=4)
+        truth_time(full, [(scene, o, d, r) for (o, d, r) in tiles],
+                   f"dragon 10-bounce [mp{mp} fg8] 16k", k=1)
+
+
+def section_resweep():
+    """Re-sweep DMA FIFO depth and packet size at fg=8: both pins were
+    measured BEFORE the gated folds changed the per-block compute/DMA
+    balance (process cost per block dropped ~4x, so transfer latency may
+    now bind where ring bookkeeping used to)."""
+    from dod_raytracer_tpu.render import render_rays
+
+    for name, over in (
+            ("fifo2 pt1024 fg8", {}),
+            ("fifo3 pt1024 fg8", dict(dma_fifo=3)),
+            ("fifo4 pt1024 fg8", dict(dma_fifo=4)),
+            ("fifo2 pt2048 fg8", dict(packet_tile=2048)),
+            ("fifo2 pt2048 fg4", dict(packet_tile=2048, fold_groups=4)),
+            ("fifo4 pt2048 fg8", dict(packet_tile=2048, dma_fifo=4)),
+    ):
+        scene, fz = flagship_scene(traversal_backend="packet", MaxPrims=64,
+                                   leaf_chunk_lanes=64, **over)
+        tiles, tile = center_tiles(fz, k=2)
+
+        @jax.jit
+        def full(scene, o, d, d_raw):
+            return render_rays(scene, o, d, d_raw, fz)
+
+        truth_time(full, [(scene, o, d, r) for (o, d, r) in tiles],
+                   f"dragon 10-bounce [{name}] 16k", k=1)
+
+
 def section_gradtile():
     """Per-tile fwd+bwd (vertex grads) cost at 16384 vs 32768 rays,
     with/without remat_bounces — VERDICT r4 item 5: the grad FRAME pays
