@@ -71,18 +71,21 @@ def build_flagship(small: bool, grad: bool = False):
     # no-remat tiles (scripts/tpu_r5.py gradtile; VERDICT r4 item 5).
     rt = 0
     remat = dict(remat_bounces=True) if grad else {}
-    # Tree shape is scene-tuned (BASELINE round-5 knob table): teapot
+    # Tree shape is scene-tuned (BASELINE round-5 knob tables): teapot
     # sweeps mp16 3.59 / mp32 3.24 / mp48 2.85 / mp64 3.37 / mp128
-    # 4.77 s @512; dragon mp48 == mp64 within noise, mp64 keeps the r4
-    # pin.  Exactness (packet vs binned, 0 prim flips) verified per
-    # shape (scripts/tpu_r5.py exact/exact48).
+    # 4.77 s @512.  Dragon decouples leaf size from block size —
+    # coarse 192-lane leaves (fewer node visits, less straddler dup)
+    # over 48-lane blocks (selective per-block AABB gates): d10 tile
+    # mp64/bl64 683 ms -> mp192/bl48 593 ms.  Exactness (packet vs
+    # binned, 0 prim flips) verified per shape (scripts/tpu_r5.py
+    # exact/exact48/exact192).
     if small:
         cfg = Config(Width=512, Height=512, use_kdtree=True, ray_tile=rt,
                      MaxPrims=48, leaf_chunk_lanes=48, **remat)
         mesh = "teapot"
     else:
         cfg = Config(Width=1920, Height=1080, use_kdtree=True, ray_tile=rt,
-                     MaxPrims=64, leaf_chunk_lanes=64, **remat)
+                     MaxPrims=192, leaf_chunk_lanes=48, **remat)
         mesh = "dragon"
     frozen = _FrozenConfig.from_config(cfg)
     scene = default_scene(seed=0, cfg=cfg, mesh=mesh).build(cfg)

@@ -36,11 +36,11 @@ from tpu_r4 import (_checksum, center_tiles, fetch, flagship_scene,
                     truth_time)
 
 
-def section_exact(mp=64):
+def section_exact(mp=64, bl=None):
     from dod_raytracer_tpu.ops.traverse import kd_any, kd_closest
 
     scene, fzp = flagship_scene(traversal_backend="packet",
-                                MaxPrims=mp, leaf_chunk_lanes=mp)
+                                MaxPrims=mp, leaf_chunk_lanes=bl or mp)
     _, fzb = flagship_scene(traversal_backend="binned")
     tiles, tile = center_tiles(fzp, k=1)
     o, d, _ = tiles[0]
@@ -62,6 +62,14 @@ def section_exact(mp=64):
 
 def section_exact48():
     section_exact(mp=48)
+
+
+def section_exact192():
+    section_exact(mp=192, bl=48)
+
+
+def section_framedwin():
+    _frame("dragon", 1920, 1080, MaxPrims=192, leaf_chunk_lanes=48)
 
 
 def section_foldsweep():
@@ -284,6 +292,18 @@ def section_knobs512c():
         _frame("teapot", 512, 512, **over)
 
 
+def section_knobs512d():
+    """Decoupled leaf/block shapes for the teapot (the dragon's
+    mp192/bl48 discovery, scaled to a 6.3k-tri mesh)."""
+    for name, over in (
+            ("mp96_bl48", dict(MaxPrims=96, leaf_chunk_lanes=48)),
+            ("mp144_bl48", dict(MaxPrims=144, leaf_chunk_lanes=48)),
+            ("mp96_bl32", dict(MaxPrims=96, leaf_chunk_lanes=32)),
+    ):
+        print(f"--- knobs512d {name} ---", flush=True)
+        _frame("teapot", 512, 512, **over)
+
+
 def section_frame1080t32():
     _frame("teapot", 1920, 1080, MaxPrims=32, leaf_chunk_lanes=32)
 
@@ -331,7 +351,7 @@ def section_dragonmp():
     from dod_raytracer_tpu.intersect import closest_hit
     from dod_raytracer_tpu.render import render_rays
 
-    for mp in (96, 128):
+    for mp in (80, 96, 112):
         scene, fz = flagship_scene(traversal_backend="packet",
                                    MaxPrims=mp, leaf_chunk_lanes=mp)
         tiles, tile = center_tiles(fz, k=2)
@@ -349,6 +369,27 @@ def section_dragonmp():
                    f"dragon ch        [mp{mp} fg8] 16k", k=4)
         truth_time(full, [(scene, o, d, r) for (o, d, r) in tiles],
                    f"dragon 10-bounce [mp{mp} fg8] 16k", k=1)
+
+
+def section_dragonsplit():
+    """Decouple leaf size (MaxPrims) from block size (leaf_chunk_lanes):
+    coarse leaves reduce node visits + straddler duplication while small
+    blocks keep per-block AABB gates selective (nb>1 blocks per leaf
+    stream through the same FIFO)."""
+    from dod_raytracer_tpu.render import render_rays
+
+    for mp, bl, fg in ((192, 48, 8), (256, 48, 8), (224, 48, 8),
+                       (160, 64, 8)):
+        scene, fz = flagship_scene(traversal_backend="packet", MaxPrims=mp,
+                                   leaf_chunk_lanes=bl, fold_groups=fg)
+        tiles, tile = center_tiles(fz, k=2)
+
+        @jax.jit
+        def full(scene, o, d, d_raw):
+            return render_rays(scene, o, d, d_raw, fz)
+
+        truth_time(full, [(scene, o, d, r) for (o, d, r) in tiles],
+                   f"dragon 10-bounce [mp{mp} bl{bl} fg{fg}] 16k", k=1)
 
 
 def section_resweep():
