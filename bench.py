@@ -81,7 +81,7 @@ def build_flagship(small: bool, grad: bool = False):
     # exact/exact48/exact192).
     if small:
         cfg = Config(Width=512, Height=512, use_kdtree=True, ray_tile=rt,
-                     MaxPrims=48, leaf_chunk_lanes=48, **remat)
+                     MaxPrims=96, leaf_chunk_lanes=48, **remat)
         mesh = "teapot"
     else:
         cfg = Config(Width=1920, Height=1080, use_kdtree=True, ray_tile=rt,

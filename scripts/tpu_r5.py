@@ -312,6 +312,10 @@ def section_frame1080t48():
     _frame("teapot", 1920, 1080, MaxPrims=48, leaf_chunk_lanes=48)
 
 
+def section_frame1080twin():
+    _frame("teapot", 1920, 1080, MaxPrims=96, leaf_chunk_lanes=48)
+
+
 def section_dragon48():
     """mp48 surprised on teapot (2.85 s vs 3.24 @mp32 / 3.37 @mp64);
     check the dragon tile at the same shape before trying a frame."""
